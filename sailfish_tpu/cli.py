@@ -1,0 +1,204 @@
+"""Command-line interface: ``sailfish_tpu {index, quant}``.
+
+Flag surface mirrors the reference CLI (src/Sailfish.cpp:92-184 dispatch;
+src/SailfishIndexer.cpp:66-237; src/SailfishQuantify.cpp:1066-1153),
+with TPU-specific additions (--backend, --batchSize).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+from . import __version__
+from .config import IndexOpts, QuantOpts
+
+
+def _setup_logging(output_dir: str | None = None) -> None:
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    if output_dir:
+        log_dir = os.path.join(output_dir, "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        handlers.append(
+            logging.FileHandler(os.path.join(log_dir, "sailfish_quant.log"))
+        )
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s [%(name)s] %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def _add_index_parser(sub):
+    p = sub.add_parser("index", help="build a quasi-mapping index")
+    p.add_argument("-t", "--transcripts", required=True, help="transcriptome FASTA")
+    p.add_argument("-o", "--out", required=True, help="output index directory")
+    p.add_argument("-k", "--kmerSize", type=int, default=31,
+                   help="k-mer size (odd, <= 31)")
+    p.add_argument("--prefixBases", type=int, default=0,
+                   help="prefix-table width in bases (0 = auto)")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="rebuild even if the index exists")
+    return p
+
+
+def _add_quant_parser(sub):
+    p = sub.add_parser("quant", help="quantify a sample")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-l", "--libType", required=True)
+    p.add_argument("-1", "--mates1", nargs="+", default=[])
+    p.add_argument("-2", "--mates2", nargs="+", default=[])
+    p.add_argument("-r", "--unmatedReads", nargs="+", default=[])
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-g", "--geneMap", default="")
+    p.add_argument("--txpAggregationKey", default="gene_id")
+    p.add_argument("--auxDir", default="aux")
+    p.add_argument("--dumpEq", action="store_true")
+    p.add_argument("--biasCorrect", action="store_true")
+    p.add_argument("--gcBiasCorrect", action="store_true")
+    p.add_argument("--gcSizeSamp", type=int, default=1)
+    p.add_argument("--gcSpeedSamp", type=int, default=1)
+    p.add_argument("--strictIntersect", action="store_true")
+    p.add_argument("--unsmoothedFLD", action="store_true")
+    p.add_argument("--maxFragLen", type=int, default=1000)
+    p.add_argument("--ignoreLibCompat", action="store_true")
+    p.add_argument("--enforceLibCompat", action="store_true")
+    p.add_argument("--allowDovetail", action="store_true")
+    p.add_argument("--discardOrphans", action="store_true")
+    p.add_argument("--numBiasSamples", type=int, default=1000000)
+    p.add_argument("--numFragSamples", type=int, default=10000)
+    p.add_argument("--fldMean", type=int, default=200)
+    p.add_argument("--fldSD", type=int, default=80)
+    p.add_argument("-w", "--maxReadOcc", type=int, default=200)
+    p.add_argument("--noEffectiveLengthCorrection", action="store_true")
+    p.add_argument("--useVBOpt", action="store_true")
+    p.add_argument("--numGibbsSamples", type=int, default=0)
+    p.add_argument("--numBootstraps", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-p", "--numThreads", type=int, default=4,
+                   help="host-side IO/decode workers")
+    # TPU-specific
+    p.add_argument("--backend", choices=["device", "refimpl"], default="device")
+    p.add_argument("--batchSize", type=int, default=65536)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        prog="sailfish_tpu",
+        description=f"sailfish_tpu v{__version__} — TPU-native "
+        "alignment-free transcript quantification",
+    )
+    parser.add_argument("-v", "--version", action="version",
+                        version=f"sailfish_tpu {__version__}")
+    parser.add_argument("--no-version-check", action="store_true",
+                        help="accepted for CLI parity; this build never "
+                        "phones home")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_index_parser(sub)
+    _add_quant_parser(sub)
+    args = parser.parse_args(argv)
+
+    if args.command == "index":
+        return _main_index(args)
+    if args.command == "quant":
+        return _main_quant(args, argv)
+    return 1
+
+
+def _main_index(args) -> int:
+    _setup_logging()
+    log = logging.getLogger("sailfish_tpu")
+    from .index.builder import build_index_from_fasta, save_index
+
+    if args.kmerSize % 2 == 0:
+        log.error("k-mer size must be odd (got %d)", args.kmerSize)
+        return 1
+    header = os.path.join(args.out, "header.json")
+    if os.path.exists(header) and not args.force:
+        log.info("index already exists at %s; use --force to rebuild", args.out)
+        return 0
+    t0 = time.time()
+    idx = build_index_from_fasta(
+        args.transcripts, k=args.kmerSize, prefix_bases=args.prefixBases
+    )
+    save_index(idx, args.out)
+    log.info(
+        "built index over %d transcripts (%d bases) in %.2fs",
+        idx.num_transcripts, idx.text_len, time.time() - t0,
+    )
+    return 0
+
+
+def _main_quant(args, argv) -> int:
+    _setup_logging(args.output)
+    import jax
+
+    platform = jax.default_backend()
+    dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    opts = QuantOpts(
+        index_dir=args.index,
+        output_dir=args.output,
+        aux_dir=args.auxDir,
+        lib_type=args.libType,
+        mates1=args.mates1,
+        mates2=args.mates2,
+        unmated_reads=args.unmatedReads,
+        max_read_occs=args.maxReadOcc,
+        strict_intersect=args.strictIntersect,
+        allow_dovetail=args.allowDovetail,
+        allow_orphans=not args.discardOrphans,
+        ignore_lib_compat=args.ignoreLibCompat,
+        enforce_lib_compat=args.enforceLibCompat,
+        max_frag_len=args.maxFragLen,
+        num_frag_samples=args.numFragSamples,
+        fld_mean=args.fldMean,
+        fld_sd=args.fldSD,
+        use_unsmoothed_fld=args.unsmoothedFLD,
+        no_effective_length_correction=args.noEffectiveLengthCorrection,
+        bias_correct=args.biasCorrect,
+        gc_bias_correct=args.gcBiasCorrect,
+        num_bias_samples=args.numBiasSamples,
+        gc_samp_factor=args.gcSizeSamp,
+        pdf_samp_factor=args.gcSpeedSamp,
+        use_vb_opt=args.useVBOpt,
+        num_gibbs_samples=args.numGibbsSamples,
+        num_bootstraps=args.numBootstraps,
+        dump_eq=args.dumpEq,
+        gene_map=args.geneMap,
+        txp_aggregation_key=args.txpAggregationKey,
+        batch_size=args.batchSize,
+        num_threads=args.numThreads,
+        seed=args.seed,
+        dtype=dtype,
+    )
+
+    # echo the ordered invocation like cmd_info.json (reference :1263-1277)
+    ordered = [("command", "quant")] + [
+        (k, v) for k, v in vars(args).items() if k != "command"
+    ]
+
+    from .quant import run_quant
+
+    stats = run_quant(opts, backend=args.backend, ordered_opts=ordered)
+    logging.getLogger("sailfish_tpu").info(
+        "done: %s", json.dumps({
+            k: v for k, v in stats.items()
+            if isinstance(v, (int, float, str))
+        })
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

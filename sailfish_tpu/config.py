@@ -1,0 +1,86 @@
+"""Run configuration — the analog of the reference's flat options struct
+(include/SailfishOpts.hpp:9-41) plus TPU-specific knobs.
+
+Defaults mirror the reference CLI defaults
+(src/SailfishQuantify.cpp:1066-1153)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class QuantOpts:
+    # --- paths ---
+    index_dir: str = ""
+    output_dir: str = ""
+    aux_dir: str = "aux"
+
+    # --- library ---
+    lib_type: str = "IU"
+    mates1: list[str] = field(default_factory=list)
+    mates2: list[str] = field(default_factory=list)
+    unmated_reads: list[str] = field(default_factory=list)
+
+    # --- mapping ---
+    max_read_occs: int = 200       # --maxReadOcc (:1143)
+    strict_intersect: bool = False  # --strictIntersect (:1105)
+    allow_dovetail: bool = False    # --allowDovetail (:1125)
+    allow_orphans: bool = True      # negated --discardOrphans (:1128)
+    ignore_lib_compat: bool = False  # --ignoreLibCompat (:1119)
+    enforce_lib_compat: bool = False  # --enforceLibCompat (:1121)
+
+    # --- fragment length distribution ---
+    max_frag_len: int = 1000       # --maxFragLen (:1112)
+    num_frag_samples: int = 10000  # --numFragSamples (:1133)
+    fld_mean: int = 200            # --fldMean (:1136)
+    fld_sd: int = 80               # --fldSD (:1140)
+    use_unsmoothed_fld: bool = False  # --unsmoothedFLD (:1109)
+    no_effective_length_correction: bool = False  # (:1144)
+
+    # --- bias ---
+    bias_correct: bool = False     # --biasCorrect (:1089)
+    gc_bias_correct: bool = False  # --gcBiasCorrect (:1090)
+    num_bias_samples: int = 1000000  # --numBiasSamples (:1131)
+    gc_samp_factor: int = 1        # --gcSizeSamp (:1101)
+    pdf_samp_factor: int = 1       # --gcSpeedSamp (:1103)
+
+    # --- inference ---
+    use_vb_opt: bool = False       # --useVBOpt (:1148)
+    num_gibbs_samples: int = 0     # --numGibbsSamples (:1150)
+    num_bootstraps: int = 0        # --numBootstraps (:1152)
+    em_tolerance: float = 0.01     # optimize(..., 0.01, 10000) (:1343)
+    em_max_iter: int = 10000
+    seed: int = 0                  # PRNG seed for samplers (TPU path is
+                                   # deterministic given the seed; the
+                                   # reference used std::random_device)
+
+    # --- outputs ---
+    dump_eq: bool = False          # --dumpEq (:1099)
+    gene_map: str = ""             # --geneMap (:1081)
+    txp_aggregation_key: str = "gene_id"  # --txpAggregationKey (:1115)
+
+    # --- execution (TPU-specific; replaces -p/--numThreads) ---
+    batch_size: int = 65536        # reads per device batch
+    num_threads: int = 4           # host-side IO / decode workers
+    max_mmps: int = 4              # max MMP seeds recorded per read per
+                                   # orientation (static capacity)
+    max_scan_steps: int = 8        # max sequential seed-probe steps
+    hit_capacity: int = 64         # max candidate loci per read per
+                                   # orientation (static capacity); reads
+                                   # exceeding it are treated like
+                                   # > max_read_occs and dropped
+    dtype: str = "float64"         # EM dtype ("float64" on CPU golden
+                                   # runs; "float32" on TPU)
+
+
+@dataclass
+class IndexOpts:
+    transcripts_fasta: str = ""
+    out_dir: str = ""
+    k: int = 31                    # index k-mer length; must be odd and
+                                   # < 32 (reference SailfishIndexer.cpp:199-205
+                                   # requires odd k <= 31)
+    prefix_bits: int = 0           # log4 size of the k-mer prefix lookup
+                                   # table; 0 = auto from text size
+    force: bool = False

@@ -1,0 +1,321 @@
+"""Quantification pipeline driver — the analog of mainQuantify
+(reference src/SailfishQuantify.cpp:1047-1441).
+
+Stages:
+  1. load index, init experiment state
+  2. stream read batches, quasi-map, accumulate equivalence classes,
+     FLD histogram and counters
+  3. effective lengths from the FLD (or prior fallback)
+  4. collapsed EM/VBEM to convergence
+  5. write quant.sf + aux outputs; optional bootstrap / Gibbs sampling;
+     optional gene-level rollup
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+
+from .config import QuantOpts
+from .eqclass.classes import EqClassAccumulator, EqClasses
+from .index.builder import QuasiIndex, load_index
+from .infer.em import run_em
+from .io.fastq import iter_fastq_batches, iter_paired_fastq_batches
+from .libformat import LibraryFormat, ReadType, parse_library_format
+from .output.genemap import generate_gene_level_estimates
+from .output.writers import QuantWriter
+from .stats.fld import effective_lengths_from_fld
+
+log = logging.getLogger("sailfish_tpu")
+
+
+@dataclasses.dataclass
+class ExperimentState:
+    """Analog of ReadExperiment (include/ReadExperiment.hpp:35-258)."""
+    num_observed: int = 0
+    num_mapped: int = 0
+    num_frag_hits: int = 0
+    upper_bound_hits: int = 0
+    num_fwd: int = 0
+    num_rc: int = 0
+    remaining_fl_ops: int = 0
+    fl_hist: np.ndarray | None = None
+
+
+class RefMapperBackend:
+    """Python/numpy mapping backend (refimpl) — correctness oracle."""
+
+    def __init__(self, index: QuasiIndex, opts: QuantOpts):
+        from .refimpl.mapper import RefMapper
+
+        self.mapper = RefMapper(index, opts)
+
+    def map_pe_batch(self, b1, b2, expected: LibraryFormat):
+        out = []
+        for i in range(b1.count):
+            r1 = b1.codes[i, : b1.lens[i]]
+            r2 = b2.codes[i, : b2.lens[i]]
+            out.append(self.mapper.map_fragment_pe(r1, r2, expected))
+        return out
+
+    def map_se_batch(self, b, expected: LibraryFormat):
+        out = []
+        for i in range(b.count):
+            r = b.codes[i, : b.lens[i]]
+            out.append(self.mapper.map_fragment_se(r, expected))
+        return out
+
+
+def _accumulate(results, state: ExperimentState, acc: EqClassAccumulator,
+                max_frag_len: int):
+    for rm in results:
+        state.num_observed += 1
+        state.num_frag_hits += rm.num_joint_hits
+        if rm.num_joint_hits > 0:
+            state.upper_bound_hits += 1
+        if rm.label is not None:
+            state.num_mapped += 1
+            acc.add(rm.label)
+            state.num_fwd += rm.num_fwd
+            state.num_rc += rm.num_rc
+        if (
+            rm.unique_paired
+            and state.remaining_fl_ops > 0
+            and rm.frag_len < max_frag_len
+        ):
+            state.fl_hist[rm.frag_len] += 1
+            state.remaining_fl_ops -= 1
+
+
+def make_backend(index: QuasiIndex, opts: QuantOpts, backend: str):
+    if backend == "refimpl":
+        return RefMapperBackend(index, opts)
+    if backend == "device":
+        from .map.pipeline import DeviceMapperBackend
+
+        return DeviceMapperBackend(index, opts)
+    raise ValueError(f"unknown mapping backend: {backend}")
+
+
+def run_quant(opts: QuantOpts, backend: str = "device",
+              ordered_opts: list | None = None) -> dict:
+    t_start = time.time()
+    start_time = time.strftime("%a %b %d %H:%M:%S %Y")
+    expected = parse_library_format(opts.lib_type)
+    paired = expected.type == ReadType.PAIRED_END
+    if paired and (not opts.mates1 or not opts.mates2):
+        raise ValueError("paired-end libType requires --mates1/--mates2")
+    if not paired and not opts.unmated_reads:
+        raise ValueError("single-end libType requires --unmatedReads")
+    if opts.num_gibbs_samples > 0 and opts.num_bootstraps > 0:
+        raise ValueError(
+            "cannot perform both Gibbs sampling and bootstrapping; choose one"
+        )
+    if opts.bias_correct and opts.gc_bias_correct:
+        raise ValueError(
+            "enabling both sequence-specific and fragment GC bias correction "
+            "simultaneously is not supported"
+        )
+    if opts.gc_bias_correct and not paired:
+        log.warning("fragment GC bias correction requires paired-end input; disabling")
+        opts.gc_bias_correct = False
+
+    log.info("loading index from %s", opts.index_dir)
+    index = load_index(opts.index_dir)
+    names = index.names
+    ref_lens = index.txp_lens.astype(np.int64)
+    num_txps = len(names)
+
+    writer = QuantWriter(opts.output_dir, opts.aux_dir)
+    if ordered_opts is not None:
+        writer.write_cmd_info(ordered_opts)
+
+    mapper = make_backend(index, opts, backend)
+
+    state = ExperimentState(
+        remaining_fl_ops=opts.num_frag_samples,
+        fl_hist=np.zeros(opts.max_frag_len, dtype=np.int64),
+    )
+    acc = EqClassAccumulator()
+
+    # bias model observations (filled by the device backend when
+    # bias correction is on)
+    bias_state = None
+    if opts.bias_correct or opts.gc_bias_correct:
+        from .stats.bias import BiasState
+
+        bias_state = BiasState(opts)
+
+    max_len = 0
+    t_map0 = time.time()
+    if paired:
+        for f1, f2 in zip(opts.mates1, opts.mates2):
+            for b1, b2 in iter_paired_fastq_batches(
+                f1, f2, opts.batch_size, max_len=_probe_max_len(f1)
+            ):
+                max_len = max(max_len, int(b1.lens.max()), int(b2.lens.max()))
+                results = mapper.map_pe_batch(b1, b2, expected)
+                _accumulate(results, state, acc, opts.max_frag_len)
+                if bias_state is not None:
+                    bias_state.observe_batch(index, b1, b2, results)
+    else:
+        for f in opts.unmated_reads:
+            for b in iter_fastq_batches(
+                f, opts.batch_size, max_len=_probe_max_len(f)
+            ):
+                max_len = max(max_len, int(b.lens.max()))
+                results = mapper.map_se_batch(b, expected)
+                _accumulate(results, state, acc, opts.max_frag_len)
+                if bias_state is not None:
+                    bias_state.observe_batch_se(index, b, results)
+    t_map = time.time() - t_map0
+    log.info(
+        "mapped %d/%d fragments (%.2f%%) in %.2fs (%.0f reads/s)",
+        state.num_mapped, state.num_observed,
+        100.0 * state.num_mapped / max(1, state.num_observed),
+        t_map, state.num_observed / max(t_map, 1e-9),
+    )
+
+    eq = acc.finish()
+    log.info("computed %d rich equivalence classes", eq.num_classes)
+
+    # ---- effective lengths (src/SailfishQuantify.cpp:954-992) ----
+    num_fld_obs = opts.num_frag_samples - state.remaining_fl_ops
+    if opts.no_effective_length_correction:
+        eff_lens = ref_lens.astype(np.float64)
+        fld_hist = state.fl_hist.astype(np.int32)
+    else:
+        eff_lens, fld_hist = effective_lengths_from_fld(
+            ref_lens,
+            state.fl_hist,
+            num_observed=num_fld_obs,
+            num_required=opts.num_frag_samples,
+            fld_mean=opts.fld_mean,
+            fld_sd=opts.fld_sd,
+            max_frag_len=opts.max_frag_len,
+            use_unsmoothed=opts.use_unsmoothed_fld,
+            paired_end=paired,
+        )
+
+    if opts.dump_eq:
+        writer.write_equiv_counts(names, eq)
+
+    # ---- EM (+ optional bias-corrected effective length refresh) ----
+    t_em0 = time.time()
+    if bias_state is not None and eq.num_classes > 0:
+        from .stats.bias import run_em_with_bias
+
+        em, eff_lens = run_em_with_bias(
+            eq, eff_lens, ref_lens, index, bias_state, state, opts
+        )
+    else:
+        em = run_em(
+            eq,
+            eff_lens,
+            total_mapped=float(state.num_mapped),
+            num_txps=num_txps,
+            use_vbem=opts.use_vb_opt,
+            rel_diff_tol=opts.em_tolerance,
+            max_iter=opts.em_max_iter,
+            dtype=opts.dtype,
+        )
+    t_em = time.time() - t_em0
+    log.info(
+        "EM finished: %d iterations in %.2fs (max rel diff %.4g)",
+        em.num_iterations, t_em, em.max_rel_diff,
+    )
+
+    writer.write_abundances(
+        names, ref_lens, eff_lens, em.alphas, float(state.num_mapped),
+        no_eff_length_correction=opts.no_effective_length_correction,
+    )
+
+    rng = np.random.default_rng(opts.seed)
+    from .stats.fld import EmpiricalDistribution
+
+    emp = EmpiricalDistribution(
+        np.arange(len(fld_hist), dtype=np.int64), fld_hist.astype(np.int64)
+    )
+    writer.write_meta(
+        names=names,
+        fld_hist=fld_hist,
+        num_processed=state.num_observed,
+        num_mapped=state.num_mapped,
+        num_bootstraps=opts.num_bootstraps,
+        num_gibbs_samples=opts.num_gibbs_samples,
+        bias_correct=opts.bias_correct,
+        start_time=start_time,
+        fld_realized=emp.realize(rng),
+        observed_seq_bias=(
+            bias_state.read_bias_counts if bias_state is not None else None
+        ),
+        expected_seq_bias=(
+            bias_state.expected_seq_bias if bias_state is not None else None
+        ),
+        observed_gc=(bias_state.observed_gc if bias_state is not None else None),
+        expected_gc=(bias_state.expected_gc if bias_state is not None else None),
+    )
+
+    if opts.num_gibbs_samples > 0 and eq.num_classes > 0:
+        from .infer.gibbs import run_gibbs
+
+        log.info("starting Gibbs sampler (%d samples)", opts.num_gibbs_samples)
+        for sample in run_gibbs(
+            eq, eff_lens, em.alphas, num_txps,
+            num_samples=opts.num_gibbs_samples,
+            total_mapped=float(state.num_mapped),
+            seed=opts.seed,
+        ):
+            writer.write_bootstrap(np.asarray(sample, dtype=np.int32))
+        log.info("finished Gibbs sampler")
+    elif opts.num_bootstraps > 0 and eq.num_classes > 0:
+        from .infer.bootstrap import run_bootstraps
+
+        log.info("gathering %d bootstrap samples", opts.num_bootstraps)
+        for alphas in run_bootstraps(
+            eq, eff_lens, num_txps,
+            num_bootstraps=opts.num_bootstraps,
+            use_vbem=opts.use_vb_opt,
+            rel_diff_tol=opts.em_tolerance,
+            max_iter=opts.em_max_iter,
+            seed=opts.seed,
+            dtype=opts.dtype,
+        ):
+            writer.write_bootstrap(np.asarray(alphas, dtype=np.float64))
+        log.info("finished bootstraps")
+    writer.close()
+
+    if opts.gene_map:
+        generate_gene_level_estimates(
+            opts.gene_map, opts.output_dir, opts.txp_aggregation_key
+        )
+
+    return {
+        "num_observed": state.num_observed,
+        "num_mapped": state.num_mapped,
+        "mapping_rate": state.num_mapped / max(1, state.num_observed),
+        "num_eq_classes": eq.num_classes,
+        "em_iterations": em.num_iterations,
+        "eff_lens": eff_lens,
+        "alphas": em.alphas,
+        "eq": eq,
+        "names": names,
+        "map_seconds": t_map,
+        "em_seconds": t_em,
+        "total_seconds": time.time() - t_start,
+    }
+
+
+def _probe_max_len(path: str, probe_reads: int = 64) -> int:
+    """Static read length for the batch shape: probe the first few reads
+    and round up to a multiple of 8 (padding is masked everywhere)."""
+    from .io.fastq import _iter_fastq_seq_blocks
+
+    m = 0
+    for block in _iter_fastq_seq_blocks(path, probe_reads):
+        m = max(m, max(len(s) for s in block))
+        break
+    return max(8, (m + 7) // 8 * 8)

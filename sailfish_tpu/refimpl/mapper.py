@@ -1,0 +1,311 @@
+"""Numpy reference quasi-mapper.
+
+Implements the documented mapping semantics (modeled on RapMap's
+SACollector / maximal-mappable-prefix search, which the reference
+compiles in externally — see reference src/SailfishQuantify.cpp:141-213
+for the call sites):
+
+Per oriented read (the read as given = fwd, its reverse complement = rc):
+
+1. Scan query positions left→right starting at 0.  At position i, find
+   the suffix-array interval of suffixes sharing the first
+   ``prefix_bases`` bases of read[i:]; compute the true longest-common-
+   prefix (LCP) of read[i:] against every suffix in the interval
+   (matches terminate at transcript separators automatically).
+2. Let l* = max LCP.  If l* >= k the position yields an MMP: the set of
+   suffixes achieving l*, each implying a (transcript, read-start
+   position) locus; advance i by max(1, l* - k + 1).  Otherwise advance
+   i by 1.
+3. A transcript locus is a hit for the oriented read iff it is implied
+   by the FIRST MMP and is consistent (same transcript, same implied
+   read-start) with at least one locus of EVERY subsequent MMP.
+
+Per read, fwd and rc hits are combined; if the same transcript is hit in
+both orientations the orientation with the larger first-MMP match length
+wins (ties prefer fwd).  Implied read-start positions may be negative
+(read hanging off the transcript start), as in RapMap.
+
+Paired-end merge (modeled on rapmap::utils::mergeLeftRightHitsFuzzy,
+called at reference src/SailfishQuantify.cpp:204-213): transcripts hit
+by both ends become PAIRED hits; if there are none (or one end is
+unmapped), each end's hits become orphan hits (unless orphans are
+discarded).  fragLen = max(end of either read) - min(start of either
+read) in transcript coordinates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import dna
+from ..config import QuantOpts
+from ..index.builder import QuasiIndex
+from ..libformat import (
+    LibraryFormat,
+    MateStatus,
+    compatible_hit_paired,
+    compatible_hit_single,
+    hit_type,
+)
+
+
+@dataclasses.dataclass
+class Hit:
+    txp: int
+    pos: int            # implied read start on the transcript (may be <0)
+    fwd: bool
+    mlen: int           # first-MMP match length (orientation tiebreak)
+    mate_status: MateStatus = MateStatus.SINGLE_END
+    # paired fields
+    mate_pos: int = 0
+    mate_fwd: bool = True
+    frag_len: int = 0
+    read_len: int = 0
+    mate_len: int = 0
+
+
+@dataclasses.dataclass
+class ReadMapping:
+    """Outcome for one fragment: the eq-class label (sorted tids, possibly
+    with duplicates) or None, plus bookkeeping for counters."""
+    label: tuple[int, ...] | None
+    num_joint_hits: int
+    frag_len: int            # valid iff unique_paired
+    unique_paired: bool
+    num_fwd: int
+    num_rc: int
+
+
+class RefMapper:
+    def __init__(self, index: QuasiIndex, opts: QuantOpts | None = None):
+        self.idx = index
+        self.opts = opts or QuantOpts()
+        # suffix array positions sorted by A-substituted text
+        self._sa = index.sa
+        self._codes = index.codes
+        self._n = len(index.codes)
+
+    # ---------------- core MMP machinery ----------------
+
+    def _lcp(self, read: np.ndarray, i: int, gpos: int) -> int:
+        """LCP of read[i:] vs text[gpos:] under true codes."""
+        m = min(len(read) - i, self._n - gpos)
+        a = read[i : i + m]
+        b = self._codes[gpos : gpos + m]
+        neq = np.nonzero(a != b)[0]
+        return int(neq[0]) if len(neq) else m
+
+    def _mmps(self, read: np.ndarray):
+        """Collect MMPs for one oriented read.
+
+        Returns list of (qpos, l, [global suffix positions]).
+        Capacities (max_scan_steps / max_mmps) mirror the device kernel's
+        static bounds.
+        """
+        idx, opts = self.idx, self.opts
+        k, P = idx.k, idx.prefix_bases
+        L = len(read)
+        mmps = []
+        i = 0
+        steps = 0
+        while i + k <= L and steps < opts.max_scan_steps and len(mmps) < opts.max_mmps:
+            steps += 1
+            window = read[i : i + P]
+            if np.any(window >= 4):
+                i += 1
+                continue
+            lo, hi = idx.prefix_interval(window)
+            if hi <= lo:
+                i += 1
+                continue
+            cand_gpos = np.asarray(self._sa[lo:hi], dtype=np.int64)
+            lcps = np.array([self._lcp(read, i, g) for g in cand_gpos])
+            lstar = int(lcps.max()) if len(lcps) else 0
+            if lstar < k:
+                i += 1
+                continue
+            best = cand_gpos[lcps == lstar]
+            mmps.append((i, lstar, best))
+            i += max(1, lstar - k + 1)
+        return mmps
+
+    def _orient_hits(self, read: np.ndarray, fwd: bool) -> dict[int, Hit]:
+        """Position-consistent intersection of MMP loci -> per-txp hit."""
+        idx = self.idx
+        mmps = self._mmps(read)
+        if not mmps:
+            return {}
+        q0, l0, base = mmps[0]
+        # implied loci of the first MMP
+        loci = {}
+        for g in base:
+            t = int(idx.txp_of_pos[g])
+            pos = int(g - idx.txp_offsets[t]) - q0
+            loci[(t, pos)] = l0
+        for qi, li, cands in mmps[1:]:
+            support = set()
+            for g in cands:
+                t = int(idx.txp_of_pos[g])
+                support.add((t, int(g - idx.txp_offsets[t]) - qi))
+            loci = {tp: ml for tp, ml in loci.items() if tp in support}
+            if not loci:
+                return {}
+        hits: dict[int, Hit] = {}
+        for (t, pos), ml in sorted(loci.items()):
+            if t not in hits:  # keep smallest pos per transcript
+                hits[t] = Hit(txp=t, pos=pos, fwd=fwd, mlen=ml)
+        return hits
+
+    def map_single_oriented(self, read: np.ndarray) -> dict[int, Hit]:
+        """Both orientations, one Hit per transcript."""
+        fw = self._orient_hits(read, True)
+        rc = self._orient_hits(dna.revcomp(read), False)
+        hits = dict(fw)
+        for t, h in rc.items():
+            if t not in hits or h.mlen > hits[t].mlen:
+                hits[t] = h
+        return hits
+
+    # ---------------- fragment-level mapping ----------------
+
+    def map_fragment_pe(
+        self, read1: np.ndarray, read2: np.ndarray, expected: LibraryFormat
+    ) -> ReadMapping:
+        opts = self.opts
+        lhits = self.map_single_oriented(read1)
+        rhits = self.map_single_oriented(read2)
+        len1, len2 = len(read1), len(read2)
+
+        shared = sorted(set(lhits) & set(rhits))
+        joint: list[Hit] = []
+        if shared:
+            for t in shared:
+                h1, h2 = lhits[t], rhits[t]
+                start = min(h1.pos, h2.pos)
+                end = max(h1.pos + len1, h2.pos + len2)
+                joint.append(
+                    Hit(
+                        txp=t,
+                        pos=h1.pos,
+                        fwd=h1.fwd,
+                        mlen=h1.mlen,
+                        mate_status=MateStatus.PAIRED_END_PAIRED,
+                        mate_pos=h2.pos,
+                        mate_fwd=h2.fwd,
+                        frag_len=end - start,
+                        read_len=len1,
+                        mate_len=len2,
+                    )
+                )
+        else:
+            # orphans, in transcript order, left hits before right on ties
+            # (reference sorts/merges jointHits by transcript id,
+            # src/SailfishQuantify.cpp:231-246)
+            orphans: list[Hit] = []
+            for t, h in lhits.items():
+                orphans.append(
+                    Hit(t, h.pos, h.fwd, h.mlen, MateStatus.PAIRED_END_LEFT,
+                        read_len=len1)
+                )
+            for t, h in rhits.items():
+                orphans.append(
+                    Hit(t, h.pos, h.fwd, h.mlen, MateStatus.PAIRED_END_RIGHT,
+                        read_len=len2)
+                )
+            orphans.sort(key=lambda h: (h.txp, h.mate_status))
+            if not opts.allow_orphans:
+                orphans = []
+            joint = orphans
+
+        num_joint = len(joint)
+        if num_joint > opts.max_read_occs:
+            joint = []
+            num_joint = 0  # reference clears jointHits (:217)
+
+        return self._collapse(joint, expected, paired_end=True)
+
+    def map_fragment_se(
+        self, read: np.ndarray, expected: LibraryFormat
+    ) -> ReadMapping:
+        hits = self.map_single_oriented(read)
+        joint = [
+            Hit(t, h.pos, h.fwd, h.mlen, MateStatus.SINGLE_END, read_len=len(read))
+            for t, h in sorted(hits.items())
+        ]
+        if len(joint) > self.opts.max_read_occs:
+            joint = []
+        return self._collapse(joint, expected, paired_end=False)
+
+    def _collapse(
+        self, joint: list[Hit], expected: LibraryFormat, paired_end: bool
+    ) -> ReadMapping:
+        """Library-compat filtering and eq-class label formation, mirroring
+        the per-read tail of processReadsQuasi
+        (src/SailfishQuantify.cpp:248-434)."""
+        opts = self.opts
+        compat_ids: list[int] = []
+        all_ids: list[int] = []
+        fw_compat = rc_compat = fw_all = rc_all = 0
+        have_compat = False
+
+        for h in joint:
+            if h.mate_status == MateStatus.PAIRED_END_PAIRED:
+                compat = opts.ignore_lib_compat
+                if not compat:
+                    end1 = h.pos if h.fwd else h.pos + h.read_len
+                    end2 = h.mate_pos if h.mate_fwd else h.mate_pos + h.mate_len
+                    observed = hit_type(
+                        end1, h.fwd, h.read_len, end2, h.mate_fwd, h.mate_len,
+                        opts.allow_dovetail,
+                    )
+                    compat = compatible_hit_paired(expected, observed)
+                fwd_hit = h.fwd
+            else:
+                compat = opts.ignore_lib_compat or compatible_hit_single(
+                    expected, h.fwd, h.mate_status
+                )
+                if h.mate_status == MateStatus.PAIRED_END_LEFT:
+                    fwd_hit = h.fwd
+                elif h.mate_status == MateStatus.PAIRED_END_RIGHT:
+                    fwd_hit = not h.fwd
+                else:
+                    fwd_hit = h.fwd
+            if compat:
+                have_compat = True
+                compat_ids.append(h.txp)
+                if fwd_hit:
+                    fw_compat += 1
+                else:
+                    rc_compat += 1
+            if not have_compat and not opts.enforce_lib_compat:
+                all_ids.append(h.txp)
+                if fwd_hit:
+                    fw_all += 1
+                else:
+                    rc_all += 1
+
+        if have_compat and compat_ids:
+            label = tuple(compat_ids)
+            nf, nr = fw_compat, rc_compat
+        elif all_ids:
+            label = tuple(all_ids)
+            nf, nr = fw_all, rc_all
+        else:
+            label, nf, nr = None, 0, 0
+
+        unique_paired = (
+            len(joint) == 1
+            and joint[0].mate_status == MateStatus.PAIRED_END_PAIRED
+            and label is not None
+        )
+        frag_len = joint[0].frag_len if unique_paired else 0
+        return ReadMapping(
+            label=label,
+            num_joint_hits=len(joint),
+            frag_len=frag_len,
+            unique_paired=unique_paired,
+            num_fwd=nf,
+            num_rc=nr,
+        )
