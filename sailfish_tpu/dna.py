@@ -118,7 +118,9 @@ def rolling_kmer_indices(codes: np.ndarray, k: int) -> np.ndarray:
     return idx
 
 
-def pack_words_u32(codes: np.ndarray, bases_per_word: int = 16) -> np.ndarray:
+def pack_words_u32(
+    codes: np.ndarray, bases_per_word: int = 16, sub: int = 0
+) -> np.ndarray:
     """Pack codes into big-endian-ish 2-bit words for lexicographic compare.
 
     word[p] packs codes[p : p + bases_per_word] with the base at p in the
@@ -131,7 +133,9 @@ def pack_words_u32(codes: np.ndarray, bases_per_word: int = 16) -> np.ndarray:
     """
     assert bases_per_word * 2 <= 32
     c = np.asarray(codes, dtype=np.uint64)
-    c = np.where(c >= 4, 0, c)  # SEP behaves as A for ordering
+    c = np.where(c >= 4, sub, c)  # SEP substituted (A for ordering; the
+    # index also stores a second packing with sub=1 (C) so SEP can be
+    # distinguished from real bases by comparing both — see map/encode.py
     n = len(c)
     padded = np.zeros(n + bases_per_word, dtype=np.uint64)
     padded[:n] = c

@@ -11,7 +11,7 @@ scripts/fetchRapMap.sh) with a TPU-first layout:
   packed16     uint32[N]  16-base 2-bit packed words (lexicographic)
   table_lo     int32[4^P + 1] SA interval start per P-base prefix
   txp_of_pos   int32[N]   position -> transcript id
-  txp_offsets  int64[T]、 txp_lens int32[T], names
+  txp_offsets  int64[T], txp_lens int32[T], names
 
 Ordering convention: the SA is sorted by the *A-substituted* text
 (SEP packs as A) so that packed-word integer comparisons agree with SA
@@ -43,7 +43,10 @@ class QuasiIndex:
     names: list[str]
     codes: np.ndarray              # uint8[N] true codes (SEP=4)
     sa: np.ndarray                 # int32/int64[N]
-    packed16: np.ndarray           # uint32[N]
+    packed16: np.ndarray           # uint32[N], SEP packed as A (ordering)
+    packed16b: np.ndarray          # uint32[N], SEP packed as C — a text
+    # position truly matches a read position iff BOTH packings agree
+    # (reads pack N/padding as A and G respectively; see map/encode.py)
     table_lo: np.ndarray           # int32/int64[4^P + 1]
     txp_of_pos: np.ndarray         # int32[N]
     txp_offsets: np.ndarray        # int64[T]
@@ -147,7 +150,8 @@ def build_index(
 
     codes_sub = np.where(codes >= 4, 0, codes).astype(np.uint8)
     sa = build_suffix_array(codes_sub)
-    packed16 = dna.pack_words_u32(codes)
+    packed16 = dna.pack_words_u32(codes, sub=0)
+    packed16b = dna.pack_words_u32(codes, sub=1)
 
     # prefix table from sorted prefixes: pref(sa) is non-decreasing.
     shift = np.uint32(2 * (16 - prefix_bases))
@@ -167,6 +171,7 @@ def build_index(
         codes=codes,
         sa=sa,
         packed16=packed16,
+        packed16b=packed16b,
         table_lo=table_lo,
         txp_of_pos=txp_of_pos,
         txp_offsets=txp_offsets,
@@ -205,6 +210,7 @@ def save_index(idx: QuasiIndex, out_dir: str) -> None:
         codes=idx.codes,
         sa=idx.sa,
         packed16=idx.packed16,
+        packed16b=idx.packed16b,
         table_lo=idx.table_lo,
         txp_of_pos=idx.txp_of_pos,
         txp_offsets=idx.txp_offsets,
@@ -230,6 +236,7 @@ def load_index(index_dir: str) -> QuasiIndex:
         codes=arrays["codes"],
         sa=arrays["sa"],
         packed16=arrays["packed16"],
+        packed16b=arrays["packed16b"],
         table_lo=arrays["table_lo"],
         txp_of_pos=arrays["txp_of_pos"],
         txp_offsets=arrays["txp_offsets"],

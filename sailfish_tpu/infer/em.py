@@ -213,7 +213,7 @@ def run_em(
         rel_diff_tol=rel_diff_tol,
         alpha_check_cutoff=1e-2,
     )
-    alphas = np.asarray(alpha, dtype=np.float64)
+    alphas = np.array(alpha, dtype=np.float64)
     cutoff = (0.01 + 1e-8) if use_vbem else 1e-8
     alphas[alphas <= cutoff] = 0.0
     return EMResult(

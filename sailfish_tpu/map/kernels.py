@@ -1,0 +1,247 @@
+"""Batched quasi-mapping kernels (JAX, static shapes, masked lanes).
+
+The algorithm matches the documented semantics of refimpl/mapper.py with
+two static capacities (candidates per MMP, MMPs per lane); lanes whose
+intervals stay above the candidate cap after packed-word refinement are
+flagged `overflow` and treated as unmapped (the analog in spirit of the
+reference's --maxReadOcc discard, src/SailfishQuantify.cpp:217).
+
+Per oriented lane (= read or its reverse complement), a lax.scan runs the
+MMP search:
+
+  1. prefix-table lookup of the P-base seed at the current position
+  2. interval refinement: vectorized binary search of the query's packed
+     16-base words (depth 0 and 16) against packed suffixes — narrows the
+     interval to suffixes matching >= 32 bases when possible
+  3. candidate LCPs via dual-packed-word XOR + count-leading-zeros
+     (16 bases per u32 compare; transcript separators and read N/padding
+     can never match by construction — see map/encode.py)
+  4. hit if max LCP >= k; advance by max(1, l* - k + 1), else by 1
+
+then a static intersection pass keeps first-MMP loci consistent with all
+later MMPs, dedupes per transcript (keeping the smallest position), and
+sorts hits by transcript id.
+
+Everything is integer gather/compare — VPU work with HBM-resident index
+arrays.  A Pallas variant of the inner loop can slot in behind the same
+interface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import make_oriented_lanes
+
+NEG = jnp.int32(2**31 - 1)  # sentinel txp id for invalid hit slots
+
+
+def _clz32(x: jnp.ndarray) -> jnp.ndarray:
+    """Count leading zeros of uint32 (x=0 -> 32), exact integer ops."""
+    s = x
+    s = s | (s >> jnp.uint32(1))
+    s = s | (s >> jnp.uint32(2))
+    s = s | (s >> jnp.uint32(4))
+    s = s | (s >> jnp.uint32(8))
+    s = s | (s >> jnp.uint32(16))
+    return (32 - jax.lax.population_count(s).astype(jnp.int32)).astype(jnp.int32)
+
+
+def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
+    """Vectorized binary search over SA[lo:hi) ordered by
+    packed[sa[m]+depth]; returns first m with key >= val (or > val)."""
+    n = sa.shape[0]
+
+    def body(_, state):
+        l, h = state
+        cont = l < h
+        mid = (l + h) >> 1
+        g = sa[jnp.clip(mid, 0, n - 1)].astype(jnp.int32) + depth
+        key = packed[g]
+        pred = (key <= val) if upper else (key < val)
+        l = jnp.where(cont & pred, mid + 1, l)
+        h = jnp.where(cont & (~pred), mid, h)
+        return (l, h)
+
+    l, h = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return l
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "prefix_bases", "cand_cap", "max_mmps", "max_steps",
+                     "bs_iters"),
+)
+def map_oriented_lanes(
+    text,          # dict of device index arrays (see pipeline.prep)
+    lanes,         # dict from make_oriented_lanes
+    *,
+    k: int,
+    prefix_bases: int,
+    cand_cap: int,
+    max_mmps: int,
+    max_steps: int,
+    bs_iters: int = 26,
+):
+    sa = text["sa"]                  # int32[N]
+    pa = text["packed16"]            # uint32[N + pad]
+    pb = text["packed16b"]           # uint32[N + pad]
+    table_lo = text["table_lo"]      # int32[4^P + 1]
+    txp_of_pos = text["txp_of_pos"]  # int32[N]
+    txp_offsets = text["txp_offsets"]  # int32[T]
+
+    codes = lanes["codes"]
+    B2, L = codes.shape
+    lens = lanes["lens"]
+    pw_a, pw_b = lanes["pw_a"], lanes["pw_b"]
+    qpref, valid16, validP = lanes["qpref"], lanes["valid16"], lanes["validP"]
+
+    C, M = cand_cap, max_mmps
+    n_text = sa.shape[0]
+    W16 = (L + 15) // 16  # number of 16-base words to compare for LCP
+    shift = jnp.uint32(2 * (16 - prefix_bases))
+
+    def take1(arr2d, i):
+        """arr2d (B2, L) gathered at per-lane position i (B2,) -> (B2,)"""
+        return jnp.take_along_axis(
+            arr2d, jnp.clip(i, 0, L - 1)[:, None], axis=1
+        )[:, 0]
+
+    def scan_step(state, _):
+        i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
+        active = (i + k <= lens) & (nm < M)
+
+        v = take1(qpref, i)
+        pvalid = take1(validP, i) & active
+        v_safe = jnp.where(pvalid, v, 0)
+        lo = table_lo[v_safe].astype(jnp.int32)
+        hi = table_lo[v_safe + 1].astype(jnp.int32)
+        hi = jnp.where(pvalid, hi, lo)
+
+        # --- packed-word interval refinement (depths 0 and 16) ---
+        # An EMPTY refinement at depth covering >= k bases proves the
+        # position has no k-mer hit (max LCP < 16*(w+1) <= k) — that is a
+        # plain miss, not an overflow.  Overflow is only flagged when the
+        # interval stays above the candidate cap AND a hit can't be ruled
+        # out (then the read is dropped, like --maxReadOcc discards).
+        proven_miss = jnp.zeros_like(pvalid)
+        for w in (0, 1):
+            depth = 16 * w
+            need = (
+                (hi - lo > C)
+                & (i + depth + 16 <= lens)
+                & take1(valid16, i + depth)
+                & ~proven_miss
+            )
+            qa = take1(pw_a, i + depth)
+            nlo = _search_bound(sa, pa, qa, lo, hi, depth, upper=False,
+                                iters=bs_iters)
+            nhi = _search_bound(sa, pa, qa, lo, hi, depth, upper=True,
+                                iters=bs_iters)
+            if k >= 16 * (w + 1):
+                proven_miss = proven_miss | (need & (nhi <= nlo))
+            ok = need & (nhi > nlo)
+            lo = jnp.where(ok, nlo, lo)
+            hi = jnp.where(ok, nhi, hi)
+
+        csize = hi - lo
+        step_overflow = pvalid & (csize > C) & ~proven_miss
+        cnt = jnp.where(proven_miss, 0, jnp.minimum(csize, C))
+
+        # --- candidate LCPs ---
+        cidx = lo[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+        cvalid = jnp.arange(C, dtype=jnp.int32)[None, :] < cnt[:, None]
+        g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (B2, C)
+
+        lcp = jnp.zeros((B2, C), dtype=jnp.int32)
+        matched = jnp.ones((B2, C), dtype=bool)
+        for w in range(W16):
+            depth = 16 * w
+            qa = take1(pw_a, i + depth)[:, None]
+            qb = take1(pw_b, i + depth)[:, None]
+            ta = pa[g + depth]
+            tb = pb[g + depth]
+            x = (qa ^ ta) | (qb ^ tb)
+            add = jnp.where(x == 0, 16, _clz32(x) >> 1)
+            lcp = lcp + jnp.where(matched, add, 0)
+            matched = matched & (x == 0)
+        lcp = jnp.minimum(lcp, (lens - i)[:, None])
+        lcp = jnp.where(cvalid, lcp, -1)
+
+        lstar = jnp.max(lcp, axis=1)
+        hit = pvalid & (lstar >= k) & (~step_overflow)
+
+        # implied loci for hit candidates
+        txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
+        pos = g - txp_offsets[txp] - i[:, None]
+        best = (lcp == lstar[:, None]) & cvalid & hit[:, None]
+
+        # record the MMP into slot nm
+        slot = (
+            jnp.arange(M, dtype=jnp.int32)[None, :] == nm[:, None]
+        ) & hit[:, None]  # (B2, M), all False when no hit
+        sel = slot[:, :, None]  # (B2, M, 1)
+        m_txp = jnp.where(sel, txp[:, None, :], m_txp)
+        m_pos = jnp.where(sel, pos[:, None, :], m_pos)
+        m_vld = jnp.where(sel, best[:, None, :], m_vld)
+        mlen = jnp.where(hit & (nm == 0), lstar, mlen)
+
+        overflow = overflow | step_overflow
+        nm = nm + hit.astype(jnp.int32)
+        adv = jnp.where(hit, jnp.maximum(1, lstar - k + 1), 1)
+        i = i + jnp.where(active, adv, 0)
+        return (i, nm, overflow, mlen, m_txp, m_pos, m_vld), None
+
+    init = (
+        jnp.zeros(B2, jnp.int32),                       # i
+        jnp.zeros(B2, jnp.int32),                       # num mmps
+        jnp.zeros(B2, bool),                            # overflow
+        jnp.zeros(B2, jnp.int32),                       # mlen (first MMP l*)
+        jnp.zeros((B2, M, C), jnp.int32),               # mmp txp
+        jnp.zeros((B2, M, C), jnp.int32),               # mmp pos
+        jnp.zeros((B2, M, C), bool),                    # mmp cand valid
+    )
+    (i, nm, overflow, mlen, m_txp, m_pos, m_vld), _ = jax.lax.scan(
+        scan_step, init, None, length=max_steps
+    )
+
+    # --- position-consistent intersection: base = MMP slot 0 ---
+    hvalid = m_vld[:, 0, :]
+    htxp = m_txp[:, 0, :]
+    hpos = m_pos[:, 0, :]
+    for m in range(1, M):
+        has_m = nm > m  # slot m exists
+        match = (
+            (htxp[:, :, None] == m_txp[:, m, None, :])
+            & (hpos[:, :, None] == m_pos[:, m, None, :])
+            & m_vld[:, m, None, :]
+        ).any(axis=2)
+        hvalid = hvalid & jnp.where(has_m[:, None], match, True)
+
+    # --- dedupe per transcript (keep smallest pos), sort by txp ---
+    key_t = jnp.where(hvalid, htxp, NEG)
+    # stable two-pass lexicographic argsort: pos minor, txp major
+    ord1 = jnp.argsort(hpos, axis=1, stable=True)
+    t1 = jnp.take_along_axis(key_t, ord1, axis=1)
+    ord2 = jnp.argsort(t1, axis=1, stable=True)
+    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    s_txp = jnp.take_along_axis(htxp, order, axis=1)
+    s_pos = jnp.take_along_axis(hpos, order, axis=1)
+    s_vld = jnp.take_along_axis(hvalid, order, axis=1)
+    first = jnp.ones_like(s_vld)
+    first = first.at[:, 1:].set(
+        ~((s_txp[:, 1:] == s_txp[:, :-1]) & s_vld[:, :-1])
+    )
+    s_vld = s_vld & first
+
+    return {
+        "txp": s_txp,          # (B2, C) sorted by txp among valid
+        "pos": s_pos,
+        "valid": s_vld,
+        "mlen": mlen,          # (B2,)
+        "overflow": overflow,  # (B2,)
+        "num_mapped_loci": s_vld.sum(axis=1),
+    }

@@ -1,0 +1,204 @@
+"""Device mapping backend: host orchestration of the batched kernels.
+
+Per batch: encode oriented lanes -> map_oriented_lanes (read1, read2) ->
+merge_and_collapse -> collapse_batch, then a small D2H transfer:
+per-fragment stat vectors plus ONLY the unique label rows of the batch
+(gathered on device with bucketed padding to bound recompiles).  The
+host merges (label -> count) into the EqClassAccumulator dict keyed by
+the exact label bytes, so the 64-bit on-device label hash only has to be
+collision-free within a batch for counting, and any cross-batch
+collision is harmless.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QuantOpts
+from ..index.builder import QuasiIndex
+from ..libformat import (
+    LibraryFormat,
+    MateStatus,
+    compatible_hit_single,
+)
+from .encode import make_oriented_lanes
+from .kernels import map_oriented_lanes
+from .pair import collapse_batch, merge_and_collapse
+
+_PACK_PAD = 512  # slack past text end for packed-word gathers
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Aggregated mapping outcome of one batch (n valid fragments)."""
+    n: int
+    labels: list[tuple[int, ...]]
+    label_counts: np.ndarray
+    mapped: np.ndarray          # (n,) bool
+    num_joint: np.ndarray       # (n,) int32
+    num_fwd: int
+    num_rc: int
+    unique_paired: np.ndarray   # (n,) bool
+    frag_lens: np.ndarray       # (n,) int32
+
+
+def _bucket(n: int) -> int:
+    b = 64
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _gather_rows(mat, idx):
+    return jnp.take(mat, idx, axis=0)
+
+
+class DeviceMapperBackend:
+    def __init__(self, index: QuasiIndex, opts: QuantOpts):
+        if index.big_sa:
+            raise NotImplementedError(
+                "64-bit suffix arrays are not yet supported on the device "
+                "path; use --backend refimpl (index sharding lands with the "
+                "multi-host path)"
+            )
+        self.opts = opts
+        self.k = index.k
+        self.prefix_bases = index.prefix_bases
+        pad = np.zeros(_PACK_PAD, dtype=np.uint32)
+        self.text = {
+            "sa": jnp.asarray(index.sa, jnp.int32),
+            "packed16": jnp.asarray(np.concatenate([index.packed16, pad])),
+            "packed16b": jnp.asarray(np.concatenate([index.packed16b, pad])),
+            "table_lo": jnp.asarray(index.table_lo, jnp.int32),
+            "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
+            "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
+        }
+
+    # ---- library-format scalars for the compat kernels ----
+    def _fmt_args(self, expected: LibraryFormat):
+        se_flags = (
+            compatible_hit_single(expected, True, MateStatus.PAIRED_END_LEFT),
+            compatible_hit_single(expected, False, MateStatus.PAIRED_END_LEFT),
+            compatible_hit_single(expected, True, MateStatus.PAIRED_END_RIGHT),
+            compatible_hit_single(expected, False, MateStatus.PAIRED_END_RIGHT),
+            compatible_hit_single(expected, True, MateStatus.SINGLE_END),
+            compatible_hit_single(expected, False, MateStatus.SINGLE_END),
+        )
+        return (
+            jnp.int32(int(expected.orientation)),
+            jnp.int32(int(expected.strandedness)),
+            jnp.asarray(se_flags),
+        )
+
+    def _map_lanes(self, codes: np.ndarray, lens: np.ndarray):
+        opts = self.opts
+        lanes = make_oriented_lanes(
+            jnp.asarray(codes), jnp.asarray(lens), self.prefix_bases
+        )
+        hits = map_oriented_lanes(
+            self.text, lanes,
+            k=self.k,
+            prefix_bases=self.prefix_bases,
+            cand_cap=opts.hit_capacity,
+            max_mmps=opts.max_mmps,
+            max_steps=opts.max_scan_steps,
+        )
+        B = codes.shape[0]
+
+        def half(d, sl):
+            return {k: v[sl] for k, v in d.items() if k != "num_mapped_loci"}
+
+        return half(hits, slice(0, B)), half(hits, slice(B, 2 * B))
+
+    def _pad_batch(self, codes, lens):
+        B = self.opts.batch_size
+        n = codes.shape[0]
+        if n == B:
+            return codes, lens
+        pc = np.full((B, codes.shape[1]), 4, dtype=np.uint8)
+        pc[:n] = codes
+        pl = np.zeros(B, dtype=np.int32)
+        pl[:n] = lens
+        return pc, pl
+
+    def _finish(self, out, n: int) -> BatchResult:
+        is_first, group_count, order = collapse_batch(
+            out["h1"], out["h2"], out["mapped"]
+        )
+        is_first = np.asarray(is_first)
+        group_count = np.asarray(group_count)
+        order = np.asarray(order)
+        label_len = np.asarray(out["label_len"])
+
+        rep_pos = np.nonzero(is_first)[0]
+        rep_idx = order[rep_pos]
+        counts = group_count[rep_pos]
+        U = len(rep_idx)
+        labels: list[tuple[int, ...]] = []
+        if U:
+            upad = _bucket(U)
+            idx = np.zeros(upad, dtype=np.int32)
+            idx[:U] = rep_idx
+            rows = np.asarray(_gather_rows(out["label"], jnp.asarray(idx)))[:U]
+            for r, li in zip(rows, rep_idx):
+                labels.append(tuple(int(t) for t in r[: label_len[li]]))
+
+        mapped = np.asarray(out["mapped"])[:n]
+        return BatchResult(
+            n=n,
+            labels=labels,
+            label_counts=counts,
+            mapped=mapped,
+            num_joint=np.asarray(out["num_joint"])[:n],
+            num_fwd=int(np.asarray(out["num_fwd"])[:n].sum()),
+            num_rc=int(np.asarray(out["num_rc"])[:n].sum()),
+            unique_paired=np.asarray(out["unique_paired"])[:n],
+            frag_lens=np.asarray(out["frag_len"])[:n],
+        )
+
+    def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
+        opts = self.opts
+        n = b1.count
+        c1, l1 = self._pad_batch(b1.codes, b1.lens)
+        c2, l2 = self._pad_batch(b2.codes, b2.lens)
+        h1f, h1r = self._map_lanes(c1, l1)
+        h2f, h2r = self._map_lanes(c2, l2)
+        orient, strand, se_flags = self._fmt_args(expected)
+        out = merge_and_collapse(
+            h1f, h1r, h2f, h2r,
+            jnp.asarray(l1), jnp.asarray(l2),
+            orient, strand, se_flags,
+            paired_end=True,
+            cand_cap=opts.hit_capacity,
+            max_read_occs=opts.max_read_occs,
+            allow_orphans=opts.allow_orphans,
+            allow_dovetail=opts.allow_dovetail,
+            ignore_compat=opts.ignore_lib_compat,
+            enforce_compat=opts.enforce_lib_compat,
+        )
+        return self._finish(out, n)
+
+    def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
+        opts = self.opts
+        n = b.count
+        c1, l1 = self._pad_batch(b.codes, b.lens)
+        h1f, h1r = self._map_lanes(c1, l1)
+        orient, strand, se_flags = self._fmt_args(expected)
+        out = merge_and_collapse(
+            h1f, h1r, h1f, h1r,
+            jnp.asarray(l1), jnp.asarray(l1),
+            orient, strand, se_flags,
+            paired_end=False,
+            cand_cap=opts.hit_capacity,
+            max_read_occs=opts.max_read_occs,
+            allow_orphans=opts.allow_orphans,
+            allow_dovetail=opts.allow_dovetail,
+            ignore_compat=opts.ignore_lib_compat,
+            enforce_compat=opts.enforce_lib_compat,
+        )
+        return self._finish(out, n)

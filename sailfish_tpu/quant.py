@@ -46,12 +46,32 @@ class ExperimentState:
 
 
 class RefMapperBackend:
-    """Python/numpy mapping backend (refimpl) — correctness oracle."""
+    """Python/numpy mapping backend (refimpl) — correctness oracle.
+    Produces the same BatchResult aggregates as the device backend."""
 
     def __init__(self, index: QuasiIndex, opts: QuantOpts):
         from .refimpl.mapper import RefMapper
 
         self.mapper = RefMapper(index, opts)
+
+    def _wrap(self, results):
+        from .map.pipeline import BatchResult
+
+        label_counts: dict[tuple[int, ...], int] = {}
+        for rm in results:
+            if rm.label is not None:
+                label_counts[rm.label] = label_counts.get(rm.label, 0) + 1
+        return BatchResult(
+            n=len(results),
+            labels=list(label_counts.keys()),
+            label_counts=np.array(list(label_counts.values()), dtype=np.int64),
+            mapped=np.array([rm.label is not None for rm in results]),
+            num_joint=np.array([rm.num_joint_hits for rm in results]),
+            num_fwd=sum(rm.num_fwd for rm in results if rm.label is not None),
+            num_rc=sum(rm.num_rc for rm in results if rm.label is not None),
+            unique_paired=np.array([rm.unique_paired for rm in results]),
+            frag_lens=np.array([rm.frag_len for rm in results], dtype=np.int64),
+        )
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat):
         out = []
@@ -59,35 +79,34 @@ class RefMapperBackend:
             r1 = b1.codes[i, : b1.lens[i]]
             r2 = b2.codes[i, : b2.lens[i]]
             out.append(self.mapper.map_fragment_pe(r1, r2, expected))
-        return out
+        return self._wrap(out)
 
     def map_se_batch(self, b, expected: LibraryFormat):
         out = []
         for i in range(b.count):
             r = b.codes[i, : b.lens[i]]
             out.append(self.mapper.map_fragment_se(r, expected))
-        return out
+        return self._wrap(out)
 
 
-def _accumulate(results, state: ExperimentState, acc: EqClassAccumulator,
+def _accumulate(br, state: ExperimentState, acc: EqClassAccumulator,
                 max_frag_len: int):
-    for rm in results:
-        state.num_observed += 1
-        state.num_frag_hits += rm.num_joint_hits
-        if rm.num_joint_hits > 0:
-            state.upper_bound_hits += 1
-        if rm.label is not None:
-            state.num_mapped += 1
-            acc.add(rm.label)
-            state.num_fwd += rm.num_fwd
-            state.num_rc += rm.num_rc
-        if (
-            rm.unique_paired
-            and state.remaining_fl_ops > 0
-            and rm.frag_len < max_frag_len
-        ):
-            state.fl_hist[rm.frag_len] += 1
-            state.remaining_fl_ops -= 1
+    """Fold one BatchResult into the experiment state.  The FLD gating
+    replays the reference's first-N-unique-paired-fragments rule in file
+    order (src/SailfishQuantify.cpp:419-434)."""
+    state.num_observed += br.n
+    state.num_frag_hits += int(br.num_joint.sum())
+    state.upper_bound_hits += int((br.num_joint > 0).sum())
+    state.num_mapped += int(br.mapped.sum())
+    state.num_fwd += br.num_fwd
+    state.num_rc += br.num_rc
+    acc.add_many(br.labels, br.label_counts)
+    if state.remaining_fl_ops > 0:
+        fls = br.frag_lens[br.unique_paired]
+        fls = fls[fls < max_frag_len][: state.remaining_fl_ops]
+        if len(fls):
+            state.fl_hist += np.bincount(fls, minlength=max_frag_len)
+            state.remaining_fl_ops -= len(fls)
 
 
 def make_backend(index: QuasiIndex, opts: QuantOpts, backend: str):
@@ -130,8 +149,7 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     num_txps = len(names)
 
     writer = QuantWriter(opts.output_dir, opts.aux_dir)
-    if ordered_opts is not None:
-        writer.write_cmd_info(ordered_opts)
+    writer.write_cmd_info(ordered_opts or [])
 
     mapper = make_backend(index, opts, backend)
 

@@ -1,0 +1,128 @@
+"""Quasi-mapping: device kernels vs the numpy oracle (refimpl), plus
+semantic checks against simulation truth."""
+
+import numpy as np
+import pytest
+
+from sailfish_tpu import dna
+from sailfish_tpu.config import QuantOpts
+from sailfish_tpu.libformat import parse_library_format
+from sailfish_tpu.map.pipeline import DeviceMapperBackend
+from sailfish_tpu.quant import RefMapperBackend
+from sailfish_tpu.refimpl.mapper import RefMapper
+
+from conftest import to_batch
+
+
+def as_dict(br):
+    return dict(zip(br.labels, (int(c) for c in br.label_counts)))
+
+
+@pytest.fixture(scope="module")
+def backends(toy_world):
+    opts = QuantOpts(batch_size=256)
+    return (
+        RefMapperBackend(toy_world["idx"], opts),
+        DeviceMapperBackend(toy_world["idx"], opts),
+        opts,
+    )
+
+
+def test_refimpl_finds_truth(toy_world):
+    mapper = RefMapper(toy_world["idx"])
+    exp = parse_library_format("IU")
+    r1, r2, truth = toy_world["sim"](100, err_rate=0.0, seed=3)
+    for m1, m2, (t, p, fl) in zip(r1, r2, truth):
+        rm = mapper.map_fragment_pe(m1, m2, exp)
+        assert rm.label is not None
+        assert t in rm.label
+        if rm.unique_paired:
+            assert rm.frag_len == fl
+
+
+def test_device_matches_refimpl_pe(toy_world, backends):
+    ref, dev, opts = backends
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](256, err_rate=0.4, seed=4)
+    b1, b2 = to_batch(r1), to_batch(r2)
+    br = ref.map_pe_batch(b1, b2, exp)
+    bd = dev.map_pe_batch(b1, b2, exp)
+    assert as_dict(br) == as_dict(bd)
+    assert np.array_equal(br.mapped, bd.mapped)
+    assert np.array_equal(br.num_joint, bd.num_joint)
+    assert np.array_equal(br.unique_paired, bd.unique_paired)
+    assert np.array_equal(
+        br.frag_lens[br.unique_paired], bd.frag_lens[bd.unique_paired]
+    )
+    assert (br.num_fwd, br.num_rc) == (bd.num_fwd, bd.num_rc)
+
+
+def test_device_matches_refimpl_se(toy_world, backends):
+    ref, dev, opts = backends
+    exp = parse_library_format("U")
+    r1, r2, _ = toy_world["sim"](256, err_rate=0.4, seed=5)
+    # mix fwd mates and rc mates as single-end input
+    reads = r1[:128] + r2[128:]
+    b = to_batch(reads)
+    br = ref.map_se_batch(b, exp)
+    bd = dev.map_se_batch(b, exp)
+    assert as_dict(br) == as_dict(bd)
+    assert np.array_equal(br.mapped, bd.mapped)
+    assert (br.num_fwd, br.num_rc) == (bd.num_fwd, bd.num_rc)
+
+
+def test_device_matches_refimpl_stranded(toy_world, backends):
+    ref, dev, opts = backends
+    exp = parse_library_format("ISF")
+    r1, r2, _ = toy_world["sim"](128, err_rate=0.2, seed=6)
+    b1, b2 = to_batch(r1), to_batch(r2)
+    br = ref.map_pe_batch(b1, b2, exp)
+    bd = dev.map_pe_batch(b1, b2, exp)
+    assert as_dict(br) == as_dict(bd)
+    # swapped mates: ISF expects mate1 sense; swapping makes them ISR
+    br2 = ref.map_pe_batch(b2, b1, exp)
+    bd2 = dev.map_pe_batch(b2, b1, exp)
+    assert as_dict(br2) == as_dict(bd2)
+
+
+def test_unmappable_reads(toy_world, backends):
+    ref, dev, opts = backends
+    exp = parse_library_format("IU")
+    rng = np.random.default_rng(9)
+    # random garbage reads: overwhelmingly unmappable
+    reads = [rng.integers(0, 4, 50).astype(np.uint8) for _ in range(64)]
+    b = to_batch(reads)
+    br = ref.map_se_batch(b, parse_library_format("U"))
+    bd = dev.map_se_batch(b, parse_library_format("U"))
+    assert as_dict(br) == as_dict(bd)
+    assert np.array_equal(br.mapped, bd.mapped)
+
+
+def test_reads_with_n_bases(toy_world, backends):
+    ref, dev, opts = backends
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](64, err_rate=0.0, seed=8)
+    # inject N (SEP) bases
+    for i in range(0, 64, 3):
+        r1[i][10] = dna.SEP
+    b1, b2 = to_batch(r1), to_batch(r2)
+    br = ref.map_pe_batch(b1, b2, exp)
+    bd = dev.map_pe_batch(b1, b2, exp)
+    assert as_dict(br) == as_dict(bd)
+
+
+def test_orphan_discard(toy_world):
+    opts = QuantOpts(batch_size=64, allow_orphans=False)
+    ref = RefMapperBackend(toy_world["idx"], opts)
+    dev = DeviceMapperBackend(toy_world["idx"], opts)
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](64, err_rate=0.0, seed=10)
+    # corrupt half the mate2 reads so they can't map -> orphans
+    rng = np.random.default_rng(11)
+    for i in range(0, 64, 2):
+        r2[i] = rng.integers(0, 4, 50).astype(np.uint8)
+    b1, b2 = to_batch(r1), to_batch(r2)
+    br = ref.map_pe_batch(b1, b2, exp)
+    bd = dev.map_pe_batch(b1, b2, exp)
+    assert as_dict(br) == as_dict(bd)
+    assert np.array_equal(br.mapped, bd.mapped)

