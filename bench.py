@@ -1,0 +1,164 @@
+"""Benchmark: reads quasi-mapped + eq-class-collapsed per second per chip.
+
+Runs the device mapping pipeline (encode -> map -> merge -> collapse ->
+host label merge) on a synthetic transcriptome + simulated paired-end
+reads, on whatever accelerator JAX provides (the real TPU chip under the
+driver; CPU if forced).  Prints ONE json line:
+
+  {"metric": "reads_per_sec_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": N / 5e6}
+
+The baseline denominator is the driver target of 5M reads mapped+
+quantified /s/chip (BASELINE.md).  Index build and read simulation are
+excluded from the timed region; the EM contributes its own secondary
+metric (iterations/s) to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# knobs (env-overridable for quick local runs)
+NUM_TXPS = int(os.environ.get("BENCH_TXPS", 20000))
+TXP_LEN = int(os.environ.get("BENCH_TXP_LEN", 1000))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
+ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_world(rng):
+    from sailfish_tpu.index.builder import build_index
+
+    log(f"building synthetic transcriptome: {NUM_TXPS} x ~{TXP_LEN}bp")
+    t0 = time.time()
+    seqs = [
+        rng.integers(0, 4, TXP_LEN + 50 * (i % 7)).astype(np.uint8)
+        for i in range(NUM_TXPS)
+    ]
+    names = [f"t{i}" for i in range(NUM_TXPS)]
+    idx = build_index(names, seqs, k=31)
+    log(f"index built in {time.time()-t0:.1f}s "
+        f"(N={idx.text_len}, P={idx.prefix_bases})")
+    return idx, seqs
+
+
+def simulate_batches(seqs, rng):
+    """Pre-simulate all batches (vectorized) outside the timed region."""
+    from sailfish_tpu import dna
+
+    L = (READ_LEN + 7) // 8 * 8
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    concat = np.concatenate(seqs)
+    lens_arr = np.array([len(s) for s in seqs])
+
+    batches = []
+    for _ in range(NUM_BATCHES):
+        t = rng.integers(0, len(seqs), BATCH)
+        fl = rng.integers(READ_LEN + 30, 320, BATCH)
+        fl = np.minimum(fl, lens_arr[t])
+        p = (rng.random(BATCH) * (lens_arr[t] - fl + 1)).astype(np.int64)
+        start = offsets[t] + p
+        # gather read windows vectorized
+        i1 = start[:, None] + np.arange(READ_LEN)
+        m1 = concat[i1]
+        i2 = start[:, None] + (fl[:, None] - READ_LEN) + np.arange(READ_LEN)
+        m2raw = concat[i2]
+        # revcomp mate2
+        m2 = (3 - m2raw[:, ::-1]).astype(np.uint8)
+        # errors
+        if ERR_RATE > 0:
+            for m in (m1, m2):
+                mask = rng.random(m.shape) < ERR_RATE
+                m[mask] = (m[mask] + rng.integers(1, 4, mask.sum())) % 4
+        c1 = np.full((BATCH, L), 4, np.uint8)
+        c2 = np.full((BATCH, L), 4, np.uint8)
+        c1[:, :READ_LEN] = m1
+        c2[:, :READ_LEN] = m2
+        lens = np.full(BATCH, READ_LEN, np.int32)
+        batches.append((c1, c2, lens))
+    return batches
+
+
+def main():
+    import jax
+
+    rng = np.random.default_rng(0)
+    idx, seqs = build_world(rng)
+    batches = simulate_batches(seqs, rng)
+    log(f"simulated {NUM_BATCHES} x {BATCH} read pairs "
+        f"on {jax.default_backend()} ({jax.devices()[0].device_kind})")
+
+    from sailfish_tpu.config import QuantOpts
+    from sailfish_tpu.eqclass.classes import EqClassAccumulator
+    from sailfish_tpu.io.fastq import FastqBatch
+    from sailfish_tpu.libformat import parse_library_format
+    from sailfish_tpu.map.pipeline import DeviceMapperBackend
+
+    opts = QuantOpts(batch_size=BATCH, hit_capacity=32)
+    backend = DeviceMapperBackend(idx, opts)
+    expected = parse_library_format("IU")
+
+    def run_batch(c1, c2, lens):
+        return backend.map_pe_batch(
+            FastqBatch(codes=c1, lens=lens), FastqBatch(codes=c2, lens=lens),
+            expected,
+        )
+
+    # warmup / compile
+    t0 = time.time()
+    br = run_batch(*batches[0])
+    log(f"warmup (compile) {time.time()-t0:.1f}s; "
+        f"mapped {br.mapped.sum()}/{BATCH}")
+
+    acc = EqClassAccumulator()
+    t0 = time.time()
+    total = 0
+    mapped = 0
+    for c1, c2, lens in batches:
+        br = run_batch(c1, c2, lens)
+        acc.add_many(br.labels, br.label_counts)
+        total += br.n
+        mapped += int(br.mapped.sum())
+    dt = time.time() - t0
+    reads_per_sec = total / dt
+    log(f"mapped {mapped}/{total} in {dt:.2f}s -> {reads_per_sec:,.0f} reads/s; "
+        f"{len(acc)} eq classes")
+
+    # secondary: EM iterations/s on the collapsed classes
+    eq = acc.finish()
+    from sailfish_tpu.infer.em import run_em
+
+    eff = np.maximum(idx.txp_lens.astype(np.float64) - 220.0, 1.0)
+    t0 = time.time()
+    em = run_em(eq, eff, float(mapped), idx.num_transcripts, dtype="float32",
+                min_iter=50, max_iter=200)
+    em_dt = time.time() - t0
+    # re-run timed after compile
+    t0 = time.time()
+    em = run_em(eq, eff, float(mapped), idx.num_transcripts, dtype="float32",
+                min_iter=50, max_iter=200)
+    em_dt = time.time() - t0
+    log(f"EM: {em.num_iterations} iters in {em_dt:.2f}s "
+        f"({em.num_iterations/max(em_dt,1e-9):,.0f} iters/s)")
+
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / 5e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

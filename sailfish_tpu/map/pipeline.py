@@ -44,6 +44,8 @@ class BatchResult:
     num_rc: int
     unique_paired: np.ndarray   # (n,) bool
     frag_lens: np.ndarray       # (n,) int32
+    per_read: list | None = None  # refimpl backend: per-fragment
+    # ReadMapping records (carries joint hits for bias observation)
 
 
 def _bucket(n: int) -> int:

@@ -1,0 +1,171 @@
+"""Multi-chip execution: data-parallel read mapping + collective merge.
+
+The reference is a single-process, multi-threaded program whose only
+"communication" is atomics and a concurrent hash
+(SURVEY.md §2.4; include/EquivalenceClassBuilder.hpp:90-108).  The TPU
+replacement (per §5/§7): the index is replicated per device, FASTQ
+batches shard across the mesh's data axis, per-device statistics merge
+with psum, and abundance updates run on the merged state.
+
+`distributed_quant_step` is the full per-batch "training step" jitted
+over the mesh via shard_map:
+
+  1. map the sharded oriented lanes against the replicated index
+  2. merge/compat/label-form per fragment (still sharded)
+  3. per-fragment EM accumulation: gather alpha over each fragment's
+     label members, normalize within the fragment, scatter-add — then
+     psum across the data axis.  Running the EM update on per-fragment
+     labels is mathematically identical to the collapsed update over
+     unique classes (counts aggregate linearly), so this one jit is a
+     genuine distributed quantification step.
+  4. FLD histogram + mapping counters, psum-merged.
+
+The production pipeline (quant.py) instead collapses labels per batch
+and merges (label -> count) on the host so the final EM runs over the
+exact collapsed classes; this step exists for multi-chip scaling of the
+map+update path and as the driver-checked multichip entry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..map.encode import make_oriented_lanes
+from ..map.kernels import map_oriented_lanes
+from ..map.pair import merge_and_collapse
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _fragment_em_update(label, label_len, alpha, eff_lens, num_txps: int):
+    """Uncollapsed EM accumulation over per-fragment labels.
+
+    label: (B, W) int32 member txp ids, PAD=-1 beyond label_len.
+    Returns the un-psummed partial alphaOut contribution of this shard.
+    """
+    B, W = label.shape
+    valid = label >= 0
+    safe = jnp.where(valid, label, 0)
+    inv_el = 1.0 / jnp.maximum(eff_lens, 1.0)
+    w = jnp.where(valid, inv_el[safe], 0.0)          # un-normalized 1/effLen
+    wsum = w.sum(axis=1, keepdims=True)
+    w = jnp.where(wsum > 0, w / jnp.where(wsum > 0, wsum, 1.0), 0.0)
+    av = jnp.where(valid, alpha[safe], 0.0) * w
+    denom = av.sum(axis=1, keepdims=True)
+    singleton = label_len[:, None] == 1
+    contrib = jnp.where(
+        singleton,
+        jnp.where(valid, 1.0, 0.0),
+        jnp.where(denom > 0, av / jnp.where(denom > 0, denom, 1.0), 0.0),
+    )
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), safe.reshape(-1), num_segments=num_txps
+    )
+
+
+def distributed_quant_step(
+    mesh: Mesh,
+    text: dict,
+    eff_lens,
+    *,
+    k: int,
+    prefix_bases: int,
+    cand_cap: int = 32,
+    max_mmps: int = 4,
+    max_steps: int = 8,
+    max_frag_len: int = 1000,
+    fmt_args=None,
+    opts=None,
+):
+    """Build the jitted multi-chip per-batch step.
+
+    Returns fn(codes1, lens1, codes2, lens2, alpha) ->
+      (alpha_out, fld_hist, num_mapped) — all replicated outputs.
+    """
+    from ..config import QuantOpts
+    from ..libformat import parse_library_format
+
+    opts = opts or QuantOpts()
+    if fmt_args is None:
+        expected = parse_library_format(opts.lib_type)
+        orient = jnp.int32(int(expected.orientation))
+        strand = jnp.int32(int(expected.strandedness))
+        from ..libformat import MateStatus, compatible_hit_single
+
+        se_flags = jnp.asarray([
+            compatible_hit_single(expected, True, MateStatus.PAIRED_END_LEFT),
+            compatible_hit_single(expected, False, MateStatus.PAIRED_END_LEFT),
+            compatible_hit_single(expected, True, MateStatus.PAIRED_END_RIGHT),
+            compatible_hit_single(expected, False, MateStatus.PAIRED_END_RIGHT),
+            compatible_hit_single(expected, True, MateStatus.SINGLE_END),
+            compatible_hit_single(expected, False, MateStatus.SINGLE_END),
+        ])
+    else:
+        orient, strand, se_flags = fmt_args
+
+    num_txps = int(eff_lens.shape[0])
+
+    def shard_step(text, alpha, eff_lens, codes1, lens1, codes2, lens2):
+        lanes1 = make_oriented_lanes(codes1, lens1, prefix_bases)
+        lanes2 = make_oriented_lanes(codes2, lens2, prefix_bases)
+        kw = dict(k=k, prefix_bases=prefix_bases, cand_cap=cand_cap,
+                  max_mmps=max_mmps, max_steps=max_steps)
+        h1 = map_oriented_lanes(text, lanes1, **kw)
+        h2 = map_oriented_lanes(text, lanes2, **kw)
+        B = codes1.shape[0]
+
+        def half(d, sl):
+            return {kk: v[sl] for kk, v in d.items() if kk != "num_mapped_loci"}
+
+        out = merge_and_collapse(
+            half(h1, slice(0, B)), half(h1, slice(B, 2 * B)),
+            half(h2, slice(0, B)), half(h2, slice(B, 2 * B)),
+            lens1, lens2, orient, strand, se_flags,
+            paired_end=True,
+            cand_cap=cand_cap,
+            max_read_occs=opts.max_read_occs,
+            allow_orphans=opts.allow_orphans,
+            allow_dovetail=opts.allow_dovetail,
+            ignore_compat=opts.ignore_lib_compat,
+            enforce_compat=opts.enforce_lib_compat,
+        )
+
+        partial_alpha = _fragment_em_update(
+            out["label"], out["label_len"], alpha, eff_lens, num_txps
+        )
+        alpha_out = jax.lax.psum(partial_alpha, "data")
+
+        fl = jnp.where(
+            out["unique_paired"] & (out["frag_len"] < max_frag_len),
+            out["frag_len"], max_frag_len,
+        )
+        hist = jnp.bincount(fl, length=max_frag_len + 1)[:max_frag_len]
+        fld = jax.lax.psum(hist, "data")
+        n_mapped = jax.lax.psum(out["mapped"].sum(), "data")
+        return alpha_out, fld, n_mapped
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    def step(codes1, lens1, codes2, lens2, alpha_in):
+        return fn(text, alpha_in, eff_lens, codes1, lens1, codes2, lens2)
+
+    return step

@@ -71,6 +71,7 @@ class RefMapperBackend:
             num_rc=sum(rm.num_rc for rm in results if rm.label is not None),
             unique_paired=np.array([rm.unique_paired for rm in results]),
             frag_lens=np.array([rm.frag_len for rm in results], dtype=np.int64),
+            per_read=results,
         )
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat):
@@ -159,12 +160,19 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     )
     acc = EqClassAccumulator()
 
-    # bias model observations (filled by the device backend when
-    # bias correction is on)
+    # bias model observations
     bias_state = None
     if opts.bias_correct or opts.gc_bias_correct:
         from .stats.bias import BiasState
 
+        if backend == "device":
+            # device-side bias observation kernels land with the Pallas
+            # mapping path; until then the oracle backend observes
+            log.warning(
+                "bias correction currently requires the refimpl mapping "
+                "backend; switching backend to refimpl"
+            )
+            backend = "refimpl"
         bias_state = BiasState(opts)
 
     max_len = 0

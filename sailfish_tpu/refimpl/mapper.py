@@ -76,6 +76,9 @@ class ReadMapping:
     unique_paired: bool
     num_fwd: int
     num_rc: int
+    joint: list = dataclasses.field(default_factory=list)  # ALL joint hits
+    # post-clears, in order — the reference observes bias/GC over every
+    # joint hit regardless of compat (src/SailfishQuantify.cpp:260-393)
 
 
 class RefMapper:
@@ -308,4 +311,5 @@ class RefMapper:
             unique_paired=unique_paired,
             num_fwd=nf,
             num_rc=nr,
+            joint=joint,
         )

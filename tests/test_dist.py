@@ -1,0 +1,72 @@
+"""Distributed (multi-device) execution over the virtual 8-device CPU
+mesh: sharding-invariance of the data-parallel quantification step and
+the graft entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_dryrun_multichip_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    labels, h1, mapped, fraglen = out
+    assert labels.shape[0] == 256
+    assert bool(np.asarray(mapped).any())
+
+
+def test_distributed_step_matches_single_device():
+    """The psum-merged per-fragment EM accumulation must be identical
+    (up to float assoc) whether run on 1 device or 8."""
+    import __graft_entry__ as ge
+    from sailfish_tpu.config import QuantOpts
+    from sailfish_tpu.map.pipeline import DeviceMapperBackend
+    from sailfish_tpu.parallel.dist import distributed_quant_step, make_mesh
+
+    idx, seqs = ge._synthetic_world(num_txps=12, txp_len=300, seed=5)
+    backend = DeviceMapperBackend(idx, QuantOpts())
+    eff = jnp.asarray(
+        np.maximum(idx.txp_lens.astype(np.float64) - 150.0, 1.0), jnp.float32
+    )
+    B = 64
+    c1, c2, lens = ge._sim_pe(seqs, B, seed=6)
+    alpha0 = jnp.full(idx.num_transcripts, 1.0, jnp.float32)
+
+    results = []
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        step = distributed_quant_step(
+            mesh, backend.text, eff,
+            k=idx.k, prefix_bases=idx.prefix_bases,
+            cand_cap=16, max_mmps=2, max_steps=4,
+        )
+        alpha, fld, n_mapped = step(
+            jnp.asarray(c1), jnp.asarray(lens), jnp.asarray(c2),
+            jnp.asarray(lens), alpha0,
+        )
+        results.append((np.asarray(alpha), np.asarray(fld), int(n_mapped)))
+
+    (a1, f1, m1), (a8, f8, m8) = results
+    assert m1 == m8 > 0
+    np.testing.assert_array_equal(f1, f8)
+    np.testing.assert_allclose(a1, a8, rtol=1e-5)
+    assert abs(a1.sum() - m1) < 1e-2
