@@ -9,7 +9,11 @@ scripts/fetchRapMap.sh) with a TPU-first layout:
   text codes   uint8[N]   concatenated transcripts, SEP(4) after each
   sa           int32/64[N] suffix array over the A-substituted text
   packed16     uint32[N]  16-base 2-bit packed words (lexicographic)
+  sep_dist     uint8[N]   distance to the next SEP (saturating) — caps
+                          A-substituted LCPs at transcript boundaries
   table_lo     int32[4^P + 1] SA interval start per P-base prefix
+  kmer table   open-addressing exact-k-mer -> SA-interval hash
+                          (index/kmerhash.py), built when k >= 17
   txp_of_pos   int32[N]   position -> transcript id
   txp_offsets  int64[T], txp_lens int32[T], names
 
@@ -34,6 +38,7 @@ import numpy as np
 from .. import INDEX_VERSION, dna
 from ..io.fasta import read_fasta
 from ..io.native import native_build_sa
+from .kmerhash import build_kmer_table, sep_distances
 
 
 @dataclasses.dataclass
@@ -44,10 +49,9 @@ class QuasiIndex:
     codes: np.ndarray              # uint8[N] true codes (SEP=4)
     sa: np.ndarray                 # int32/int64[N]
     packed16: np.ndarray           # uint32[N], SEP packed as A (ordering)
-    packed16b: np.ndarray          # uint32[N], SEP packed as C — a text
-    # position truly matches a read position iff BOTH packings agree
-    # (reads pack N/padding as A and G respectively; see map/encode.py)
+    sep_dist: np.ndarray           # uint8[N]
     table_lo: np.ndarray           # int32/int64[4^P + 1]
+    kmer_ht: dict | None           # device hash table (see kmerhash.py)
     txp_of_pos: np.ndarray         # int32[N]
     txp_offsets: np.ndarray        # int64[T]
     txp_lens: np.ndarray           # int32[T]
@@ -151,7 +155,8 @@ def build_index(
     codes_sub = np.where(codes >= 4, 0, codes).astype(np.uint8)
     sa = build_suffix_array(codes_sub)
     packed16 = dna.pack_words_u32(codes, sub=0)
-    packed16b = dna.pack_words_u32(codes, sub=1)
+    sep_dist = sep_distances(codes)
+    kmer_ht = build_kmer_table(packed16, sa, k) if k >= 17 else None
 
     # prefix table from sorted prefixes: pref(sa) is non-decreasing.
     shift = np.uint32(2 * (16 - prefix_bases))
@@ -171,8 +176,9 @@ def build_index(
         codes=codes,
         sa=sa,
         packed16=packed16,
-        packed16b=packed16b,
+        sep_dist=sep_dist,
         table_lo=table_lo,
+        kmer_ht=kmer_ht,
         txp_of_pos=txp_of_pos,
         txp_offsets=txp_offsets,
         txp_lens=txp_lens,
@@ -197,6 +203,9 @@ def save_index(idx: QuasiIndex, out_dir: str) -> None:
         "num_transcripts": idx.num_transcripts,
         "text_len": idx.text_len,
         "big_sa": bool(idx.big_sa),
+        "has_kmer_ht": idx.kmer_ht is not None,
+        "ht_bits": idx.kmer_ht["ht_bits"] if idx.kmer_ht else 0,
+        "ht_max_probes": idx.kmer_ht["max_probes"] if idx.kmer_ht else 0,
     }
     with open(os.path.join(out_dir, "header.json"), "w") as fh:
         json.dump(header, fh, indent=2)
@@ -205,17 +214,20 @@ def save_index(idx: QuasiIndex, out_dir: str) -> None:
         json.dump({"indexVersion": INDEX_VERSION, "kmerLength": idx.k}, fh, indent=2)
     with open(os.path.join(out_dir, "txp_names.txt"), "w") as fh:
         fh.write("\n".join(idx.names) + "\n")
-    np.savez(
-        os.path.join(out_dir, "arrays.npz"),
+    arrays = dict(
         codes=idx.codes,
         sa=idx.sa,
         packed16=idx.packed16,
-        packed16b=idx.packed16b,
+        sep_dist=idx.sep_dist,
         table_lo=idx.table_lo,
         txp_of_pos=idx.txp_of_pos,
         txp_offsets=idx.txp_offsets,
         txp_lens=idx.txp_lens,
     )
+    if idx.kmer_ht is not None:
+        for kk in ("ht_key0", "ht_key1", "ht_lo", "ht_cnt"):
+            arrays[kk] = idx.kmer_ht[kk]
+    np.savez(os.path.join(out_dir, "arrays.npz"), **arrays)
 
 
 def load_index(index_dir: str) -> QuasiIndex:
@@ -229,6 +241,16 @@ def load_index(index_dir: str) -> QuasiIndex:
     with open(os.path.join(index_dir, "txp_names.txt")) as fh:
         names = fh.read().splitlines()
     arrays = np.load(os.path.join(index_dir, "arrays.npz"))
+    kmer_ht = None
+    if header.get("has_kmer_ht"):
+        kmer_ht = {
+            "ht_key0": arrays["ht_key0"],
+            "ht_key1": arrays["ht_key1"],
+            "ht_lo": arrays["ht_lo"],
+            "ht_cnt": arrays["ht_cnt"],
+            "ht_bits": header["ht_bits"],
+            "max_probes": header["ht_max_probes"],
+        }
     return QuasiIndex(
         k=header["kmer_length"],
         prefix_bases=header["prefix_bases"],
@@ -236,8 +258,9 @@ def load_index(index_dir: str) -> QuasiIndex:
         codes=arrays["codes"],
         sa=arrays["sa"],
         packed16=arrays["packed16"],
-        packed16b=arrays["packed16b"],
+        sep_dist=arrays["sep_dist"],
         table_lo=arrays["table_lo"],
+        kmer_ht=kmer_ht,
         txp_of_pos=arrays["txp_of_pos"],
         txp_offsets=arrays["txp_offsets"],
         txp_lens=arrays["txp_lens"],

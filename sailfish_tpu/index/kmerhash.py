@@ -1,0 +1,136 @@
+"""Open-addressing k-mer -> SA-interval hash table, built host-side and
+probed on device with a short linear scan.
+
+This is the TPU-era analog of RapMap's sparsehash k-mer table
+(reference CMakeLists.txt:466-474 "This depenency is for RapMap"): keys
+are the first k bases of each suffix (A-substituted, packed 2-bit into
+two uint32 words), values the SA interval [lo, lo+cnt) of suffixes
+sharing them.  A device lookup replaces the O(log n) packed-word binary
+search with an expected O(1) probe chain; the exact maximum probe length
+is computed at build time and stored so the device loop bound is static
+AND exact.
+
+Layout (table size S = power of two, load factor <= 0.5):
+  ht_key0, ht_key1  uint32[S]
+  ht_lo             int32[S]
+  ht_cnt            int32[S]   (0 = empty slot)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M0 = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def mix_hash(key0: np.ndarray, key1: np.ndarray) -> np.ndarray:
+    """64-bit multiply-xor mix of two uint32 words -> uint64 hash."""
+    h = key0.astype(np.uint64) * _M0 ^ key1.astype(np.uint64) * _M1
+    h ^= h >> np.uint64(29)
+    h *= _M0
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def mix_hash_u32(key0, key1):
+    """Device-friendly 32-bit variant (same structure, uint32 ops).
+    Must match the jnp implementation in map/kernels.py."""
+    k0 = np.asarray(key0, np.uint32)
+    k1 = np.asarray(key1, np.uint32)
+    h = (k0 * np.uint32(0x9E3779B1)) ^ (k1 * np.uint32(0x85EBCA77))
+    h ^= h >> np.uint32(15)
+    h *= np.uint32(0xC2B2AE3D)
+    h ^= h >> np.uint32(13)
+    return h
+
+
+def suffix_keys(packed16: np.ndarray, sa: np.ndarray, k: int):
+    """(key0, key1) of the first k bases of each SA suffix (A-sub)."""
+    assert 17 <= k <= 32
+    n = len(packed16)
+    pad = np.zeros(32, dtype=np.uint32)
+    p = np.concatenate([packed16, pad])
+    key0 = p[sa]
+    key1 = p[sa + 16] >> np.uint32(2 * (32 - k))
+    return key0, key1
+
+
+def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
+    """Group identical k-prefixes along the SA and hash-insert them.
+
+    Returns dict(ht_key0, ht_key1, ht_lo, ht_cnt, ht_bits, max_probes).
+    """
+    n = len(sa)
+    key0, key1 = suffix_keys(packed16, sa, k)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (key0[1:] != key0[:-1]) | (key1[1:] != key1[:-1])
+    lo = np.nonzero(new)[0].astype(np.int64)
+    cnt = np.diff(np.append(lo, n)).astype(np.int64)
+    g0 = key0[lo]
+    g1 = key1[lo]
+    G = len(lo)
+
+    bits = 2
+    while (1 << bits) < 2 * G:
+        bits += 1
+    S = 1 << bits
+    mask = np.uint32(S - 1)
+
+    h = (mix_hash_u32(g0, g1) & mask).astype(np.int64)
+    slot_of_group = np.full(G, -1, dtype=np.int64)
+    taken = np.zeros(S, dtype=bool)
+    todo = np.arange(G)
+    idx = h.copy()
+    attempts = 0
+    max_probes = 1
+    while len(todo):
+        attempts += 1
+        if attempts > 8192:
+            raise RuntimeError("k-mer hash insertion did not converge")
+        order = np.argsort(idx[todo], kind="stable")
+        cand = todo[order]
+        tgt = idx[cand]
+        first = np.ones(len(cand), dtype=bool)
+        first[1:] = tgt[1:] != tgt[:-1]
+        ok = first & ~taken[tgt]
+        placed = cand[ok]
+        slot_of_group[placed] = tgt[ok]
+        taken[tgt[ok]] = True
+        remaining = cand[~ok]
+        idx[remaining] = (idx[remaining] + 1) & int(mask)
+        todo = remaining
+        max_probes = attempts
+
+    ht_key0 = np.zeros(S, dtype=np.uint32)
+    ht_key1 = np.zeros(S, dtype=np.uint32)
+    ht_lo = np.zeros(S, dtype=np.int32)
+    ht_cnt = np.zeros(S, dtype=np.int32)
+    ht_key0[slot_of_group] = g0
+    ht_key1[slot_of_group] = g1
+    ht_lo[slot_of_group] = lo.astype(np.int32)
+    ht_cnt[slot_of_group] = cnt.astype(np.int32)
+    return {
+        "ht_key0": ht_key0,
+        "ht_key1": ht_key1,
+        "ht_lo": ht_lo,
+        "ht_cnt": ht_cnt,
+        "ht_bits": bits,
+        "max_probes": int(max_probes),
+    }
+
+
+def sep_distances(codes: np.ndarray, cap: int = 255) -> np.ndarray:
+    """uint8[N]: distance from each position to the next SEP (>=4),
+    saturating at `cap`.  Used to terminate A-substituted LCPs at
+    transcript boundaries: true_lcp = min(asub_lcp, sep_dist)."""
+    n = len(codes)
+    next_sep = np.full(n, n, dtype=np.int64)
+    sep_pos = np.nonzero(codes >= 4)[0]
+    if len(sep_pos):
+        # next sep at or after each position
+        idx = np.searchsorted(sep_pos, np.arange(n), side="left")
+        has = idx < len(sep_pos)
+        next_sep[has] = sep_pos[idx[has]]
+    d = np.minimum(next_sep - np.arange(n), cap)
+    return d.astype(np.uint8)

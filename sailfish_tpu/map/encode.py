@@ -8,12 +8,13 @@ precompute, at every query position i:
                non-ACGT (N / padding) substituted as A; earliest base in
                the most significant bits (lexicographic order — matches
                the index's packed16 convention, sailfish_tpu/dna.py)
-  pw_b[?, i]   uint32 — same but non-ACGT substituted as G.  The index
-               stores the analogous pair with SEP->A / SEP->C, so a
-               position pair is a true match iff BOTH words agree:
-               N/padding vs anything and SEP vs anything always differ
-               in at least one of the two encodings.
   qpref[?, i]  int32  — the P-base prefix value (pw_a >> 2(16-P))
+  bad_dist[?, i] int32 — distance from i to the next non-ACGT base in
+               the lane (N or padding), i.e. the number of real read
+               bases available at i.  True LCPs are capped by this and
+               by the index's sep_dist, so A-substituted packed-word
+               comparisons can never cross an N, the read end, or a
+               transcript boundary.
   valid16[?, i] bool  — no non-ACGT base in [i, i+16)
 
 All arrays are padded so positions up to L-1 are addressable.
@@ -60,12 +61,18 @@ def make_oriented_lanes(codes: jnp.ndarray, lens: jnp.ndarray, prefix_bases: int
     olens = jnp.concatenate([lens, lens], axis=0)
 
     pw_a = _pack_words(oc, sub=0)   # non-ACGT -> A
-    pw_b = _pack_words(oc, sub=2)   # non-ACGT -> G
     qpref = (pw_a >> jnp.uint32(2 * (16 - prefix_bases))).astype(jnp.int32)
 
-    bad = (oc >= 4).astype(jnp.int32)
+    # distance to next non-ACGT (N or padding); suffix scan right-to-left
+    bad = oc >= 4
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    next_bad = jnp.where(bad, pos, L)
+    next_bad = jax.lax.cummin(next_bad, axis=1, reverse=True)
+    bad_dist = next_bad - pos
+
     cbad = jnp.concatenate(
-        [jnp.zeros((2 * B, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1
+        [jnp.zeros((2 * B, 1), jnp.int32), jnp.cumsum(bad.astype(jnp.int32), axis=1)],
+        axis=1,
     )
     pad16 = jnp.concatenate(
         [cbad, jnp.broadcast_to(cbad[:, -1:], (2 * B, 16))], axis=1
@@ -79,8 +86,8 @@ def make_oriented_lanes(codes: jnp.ndarray, lens: jnp.ndarray, prefix_bases: int
         "codes": oc,
         "lens": olens,
         "pw_a": pw_a,
-        "pw_b": pw_b,
         "qpref": qpref,
+        "bad_dist": bad_dist,
         "valid16": valid16,
         "validP": validP,
     }

@@ -2,21 +2,22 @@
 
 The algorithm matches the documented semantics of refimpl/mapper.py with
 two static capacities (candidates per MMP, MMPs per lane); lanes whose
-intervals stay above the candidate cap after packed-word refinement are
-flagged `overflow` and treated as unmapped (the analog in spirit of the
-reference's --maxReadOcc discard, src/SailfishQuantify.cpp:217).
+intervals stay above the candidate cap are flagged `overflow` and treated
+as unmapped (the analog in spirit of the reference's --maxReadOcc
+discard, src/SailfishQuantify.cpp:217).
 
 Per oriented lane (= read or its reverse complement), a lax.scan runs the
 MMP search:
 
-  1. prefix-table lookup of the P-base seed at the current position
-  2. interval refinement: vectorized binary search of the query's packed
-     16-base words (depth 0 and 16) against packed suffixes — narrows the
-     interval to suffixes matching >= 32 bases when possible
-  3. candidate LCPs via dual-packed-word XOR + count-leading-zeros
-     (16 bases per u32 compare; transcript separators and read N/padding
-     can never match by construction — see map/encode.py)
-  4. hit if max LCP >= k; advance by max(1, l* - k + 1), else by 1
+  1. seed lookup at the current position — either an exact-k-mer hash
+     probe (index/kmerhash.py; expected O(1), 4 gathers per probe, exact
+     static probe bound) or, for indexes without a table, a P-base
+     prefix-table lookup plus packed-word binary-search refinement
+  2. candidate LCPs against the A-substituted packed words, then capped
+     by the index's SEP distance and the lane's next-non-ACGT distance —
+     so matches can never cross a transcript boundary, an N, or the read
+     end (one u32 gather per 16 bases per candidate + one u8 gather)
+  3. hit if max LCP >= k; advance by max(1, l* - k + 1), else by 1
 
 then a static intersection pass keeps first-MMP loci consistent with all
 later MMPs, dedupes per transcript (keeping the smallest position), and
@@ -34,8 +35,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .encode import make_oriented_lanes
-
 NEG = jnp.int32(2**31 - 1)  # sentinel txp id for invalid hit slots
 
 
@@ -48,6 +47,15 @@ def _clz32(x: jnp.ndarray) -> jnp.ndarray:
     s = s | (s >> jnp.uint32(8))
     s = s | (s >> jnp.uint32(16))
     return (32 - jax.lax.population_count(s).astype(jnp.int32)).astype(jnp.int32)
+
+
+def _mix_u32(k0: jnp.ndarray, k1: jnp.ndarray) -> jnp.ndarray:
+    """Must match index/kmerhash.py mix_hash_u32 exactly."""
+    h = (k0 * jnp.uint32(0x9E3779B1)) ^ (k1 * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> jnp.uint32(13))
+    return h
 
 
 def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
@@ -73,7 +81,7 @@ def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
 @partial(
     jax.jit,
     static_argnames=("k", "prefix_bases", "cand_cap", "max_mmps", "max_steps",
-                     "bs_iters"),
+                     "bs_iters", "use_hash", "ht_probes", "ht_bits"),
 )
 def map_oriented_lanes(
     text,          # dict of device index arrays (see pipeline.prep)
@@ -85,10 +93,13 @@ def map_oriented_lanes(
     max_mmps: int,
     max_steps: int,
     bs_iters: int = 26,
+    use_hash: bool = False,
+    ht_probes: int = 0,
+    ht_bits: int = 0,
 ):
     sa = text["sa"]                  # int32[N]
     pa = text["packed16"]            # uint32[N + pad]
-    pb = text["packed16b"]           # uint32[N + pad]
+    sep_dist = text["sep_dist"]      # uint8[N + pad]
     table_lo = text["table_lo"]      # int32[4^P + 1]
     txp_of_pos = text["txp_of_pos"]  # int32[N]
     txp_offsets = text["txp_offsets"]  # int32[T]
@@ -96,13 +107,14 @@ def map_oriented_lanes(
     codes = lanes["codes"]
     B2, L = codes.shape
     lens = lanes["lens"]
-    pw_a, pw_b = lanes["pw_a"], lanes["pw_b"]
+    pw_a = lanes["pw_a"]
     qpref, valid16, validP = lanes["qpref"], lanes["valid16"], lanes["validP"]
+    bad_dist = lanes["bad_dist"]
 
     C, M = cand_cap, max_mmps
     n_text = sa.shape[0]
     W16 = (L + 15) // 16  # number of 16-base words to compare for LCP
-    shift = jnp.uint32(2 * (16 - prefix_bases))
+    key1_shift = jnp.uint32(2 * (32 - k)) if k > 16 else jnp.uint32(0)
 
     def take1(arr2d, i):
         """arr2d (B2, L) gathered at per-lane position i (B2,) -> (B2,)"""
@@ -110,23 +122,49 @@ def map_oriented_lanes(
             arr2d, jnp.clip(i, 0, L - 1)[:, None], axis=1
         )[:, 0]
 
-    def scan_step(state, _):
-        i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
-        active = (i + k <= lens) & (nm < M)
+    def seed_hash(i, active):
+        """Exact-k interval via hash probe.  Requires k >= 17."""
+        key0 = take1(pw_a, i)
+        key1 = take1(pw_a, i + 16) >> key1_shift
+        mask = jnp.uint32((1 << ht_bits) - 1)
+        h0 = (_mix_u32(key0, key1) & mask).astype(jnp.int32)
+        ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
+        ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
 
+        def body(_, st):
+            h, done, found, lo, cnt = st
+            c = ht_cnt[h]
+            k0 = ht_key0[h]
+            k1 = ht_key1[h]
+            hit = (~done) & (c > 0) & (k0 == key0) & (k1 == key1)
+            empty = (~done) & (c == 0)
+            lo = jnp.where(hit, ht_lo[h], lo)
+            cnt = jnp.where(hit, c, cnt)
+            found = found | hit
+            done = done | hit | empty
+            h = jnp.where(done, h, (h + 1) & jnp.int32((1 << ht_bits) - 1))
+            return (h, done, found, lo, cnt)
+
+        zeros = jnp.zeros(B2, jnp.int32)
+        _, done, found, lo, cnt = jax.lax.fori_loop(
+            0, ht_probes, body,
+            (h0, jnp.zeros(B2, bool), jnp.zeros(B2, bool), zeros, zeros),
+        )
+        found = found & active
+        # a miss (empty slot or probe exhaustion) proves no exact-k match
+        return lo, jnp.where(found, cnt, 0), found, active & ~found
+
+    def seed_prefix(i, pvalid):
+        """Prefix-table seed + packed-word refinement (fallback path)."""
         v = take1(qpref, i)
-        pvalid = take1(validP, i) & active
         v_safe = jnp.where(pvalid, v, 0)
         lo = table_lo[v_safe].astype(jnp.int32)
         hi = table_lo[v_safe + 1].astype(jnp.int32)
         hi = jnp.where(pvalid, hi, lo)
 
-        # --- packed-word interval refinement (depths 0 and 16) ---
         # An EMPTY refinement at depth covering >= k bases proves the
-        # position has no k-mer hit (max LCP < 16*(w+1) <= k) — that is a
-        # plain miss, not an overflow.  Overflow is only flagged when the
-        # interval stays above the candidate cap AND a hit can't be ruled
-        # out (then the read is dropped, like --maxReadOcc discards).
+        # position has no k-mer hit (max LCP < 16*(w+1) <= k) — a plain
+        # miss, not an overflow.
         proven_miss = jnp.zeros_like(pvalid)
         for w in (0, 1):
             depth = 16 * w
@@ -146,14 +184,30 @@ def map_oriented_lanes(
             ok = need & (nhi > nlo)
             lo = jnp.where(ok, nlo, lo)
             hi = jnp.where(ok, nhi, hi)
+        csize = jnp.where(proven_miss, 0, hi - lo)
+        return lo, csize, pvalid & ~proven_miss, proven_miss
 
-        csize = hi - lo
-        step_overflow = pvalid & (csize > C) & ~proven_miss
-        cnt = jnp.where(proven_miss, 0, jnp.minimum(csize, C))
+    def scan_step(state, _):
+        i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
+        active = (i + k <= lens) & (nm < M)
+
+        if use_hash:
+            lo, csize, may_hit, _ = seed_hash(i, active)
+        else:
+            pvalid = take1(validP, i) & active
+            lo, csize, may_hit, _ = seed_prefix(i, pvalid)
+
+        step_overflow = may_hit & (csize > C)
+        cnt = jnp.minimum(csize, C)
 
         # --- candidate LCPs ---
-        cidx = lo[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
-        cvalid = jnp.arange(C, dtype=jnp.int32)[None, :] < cnt[:, None]
+        # masked candidate slots clamp to the last valid one so their
+        # gathers dedupe to an already-fetched address
+        crange = jnp.arange(C, dtype=jnp.int32)[None, :]
+        cvalid = crange < cnt[:, None]
+        cidx = lo[:, None] + jnp.minimum(
+            crange, jnp.maximum(cnt[:, None] - 1, 0)
+        )
         g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (B2, C)
 
         lcp = jnp.zeros((B2, C), dtype=jnp.int32)
@@ -161,18 +215,18 @@ def map_oriented_lanes(
         for w in range(W16):
             depth = 16 * w
             qa = take1(pw_a, i + depth)[:, None]
-            qb = take1(pw_b, i + depth)[:, None]
             ta = pa[g + depth]
-            tb = pb[g + depth]
-            x = (qa ^ ta) | (qb ^ tb)
+            x = qa ^ ta
             add = jnp.where(x == 0, 16, _clz32(x) >> 1)
             lcp = lcp + jnp.where(matched, add, 0)
             matched = matched & (x == 0)
-        lcp = jnp.minimum(lcp, (lens - i)[:, None])
+        # cap: transcript boundary (text) and N/read-end (query)
+        lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
+        lcp = jnp.minimum(lcp, take1(bad_dist, i)[:, None])
         lcp = jnp.where(cvalid, lcp, -1)
 
         lstar = jnp.max(lcp, axis=1)
-        hit = pvalid & (lstar >= k) & (~step_overflow)
+        hit = may_hit & (lstar >= k) & (~step_overflow)
 
         # implied loci for hit candidates
         txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]

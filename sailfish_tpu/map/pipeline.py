@@ -72,14 +72,30 @@ class DeviceMapperBackend:
         self.k = index.k
         self.prefix_bases = index.prefix_bases
         pad = np.zeros(_PACK_PAD, dtype=np.uint32)
+        pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
         self.text = {
             "sa": jnp.asarray(index.sa, jnp.int32),
             "packed16": jnp.asarray(np.concatenate([index.packed16, pad])),
-            "packed16b": jnp.asarray(np.concatenate([index.packed16b, pad])),
+            "sep_dist": jnp.asarray(
+                np.concatenate([index.sep_dist, pad8])
+            ),
             "table_lo": jnp.asarray(index.table_lo, jnp.int32),
             "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
             "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
         }
+        self.use_hash = index.kmer_ht is not None
+        self.ht_bits = 0
+        self.ht_probes = 0
+        if self.use_hash:
+            ht = index.kmer_ht
+            self.text.update({
+                "ht_key0": jnp.asarray(ht["ht_key0"]),
+                "ht_key1": jnp.asarray(ht["ht_key1"]),
+                "ht_lo": jnp.asarray(ht["ht_lo"], jnp.int32),
+                "ht_cnt": jnp.asarray(ht["ht_cnt"], jnp.int32),
+            })
+            self.ht_bits = int(ht["ht_bits"])
+            self.ht_probes = int(ht["max_probes"])
 
     # ---- library-format scalars for the compat kernels ----
     def _fmt_args(self, expected: LibraryFormat):
@@ -109,6 +125,9 @@ class DeviceMapperBackend:
             cand_cap=opts.hit_capacity,
             max_mmps=opts.max_mmps,
             max_steps=opts.max_scan_steps,
+            use_hash=self.use_hash,
+            ht_probes=self.ht_probes,
+            ht_bits=self.ht_bits,
         )
         B = codes.shape[0]
 

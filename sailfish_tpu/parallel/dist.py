@@ -87,6 +87,9 @@ def distributed_quant_step(
     max_frag_len: int = 1000,
     fmt_args=None,
     opts=None,
+    use_hash: bool = False,
+    ht_probes: int = 0,
+    ht_bits: int = 0,
 ):
     """Build the jitted multi-chip per-batch step.
 
@@ -120,7 +123,8 @@ def distributed_quant_step(
         lanes1 = make_oriented_lanes(codes1, lens1, prefix_bases)
         lanes2 = make_oriented_lanes(codes2, lens2, prefix_bases)
         kw = dict(k=k, prefix_bases=prefix_bases, cand_cap=cand_cap,
-                  max_mmps=max_mmps, max_steps=max_steps)
+                  max_mmps=max_mmps, max_steps=max_steps,
+                  use_hash=use_hash, ht_probes=ht_probes, ht_bits=ht_bits)
         h1 = map_oriented_lanes(text, lanes1, **kw)
         h2 = map_oriented_lanes(text, lanes2, **kw)
         B = codes1.shape[0]

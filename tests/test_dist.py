@@ -58,6 +58,8 @@ def test_distributed_step_matches_single_device():
             mesh, backend.text, eff,
             k=idx.k, prefix_bases=idx.prefix_bases,
             cand_cap=16, max_mmps=2, max_steps=4,
+            use_hash=backend.use_hash, ht_probes=backend.ht_probes,
+            ht_bits=backend.ht_bits,
         )
         alpha, fld, n_mapped = step(
             jnp.asarray(c1), jnp.asarray(lens), jnp.asarray(c2),

@@ -80,9 +80,15 @@ def test_save_load_roundtrip(tmp_path, toy_world):
     idx2 = load_index(str(tmp_path))
     assert idx2.k == idx.k
     assert idx2.names == idx.names
-    for f in ("codes", "sa", "packed16", "packed16b", "table_lo",
+    for f in ("codes", "sa", "packed16", "sep_dist", "table_lo",
               "txp_of_pos", "txp_offsets", "txp_lens"):
         assert np.array_equal(getattr(idx, f), getattr(idx2, f)), f
+    assert (idx.kmer_ht is None) == (idx2.kmer_ht is None)
+    if idx.kmer_ht is not None:
+        for f in ("ht_key0", "ht_key1", "ht_lo", "ht_cnt"):
+            assert np.array_equal(idx.kmer_ht[f], idx2.kmer_ht[f]), f
+        assert idx.kmer_ht["ht_bits"] == idx2.kmer_ht["ht_bits"]
+        assert idx.kmer_ht["max_probes"] == idx2.kmer_ht["max_probes"]
 
 
 def test_even_k_rejected():

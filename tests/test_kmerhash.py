@@ -1,0 +1,75 @@
+"""k-mer hash table: exact lookup of every k-mer in the text."""
+
+import numpy as np
+
+from sailfish_tpu import dna
+from sailfish_tpu.index.kmerhash import (
+    build_kmer_table,
+    mix_hash_u32,
+    sep_distances,
+    suffix_keys,
+)
+
+
+def _lookup(ht, key0, key1):
+    mask = (1 << ht["ht_bits"]) - 1
+    h = int(mix_hash_u32(np.uint32(key0), np.uint32(key1))) & mask
+    for _ in range(ht["max_probes"]):
+        if ht["ht_cnt"][h] == 0:
+            return None
+        if ht["ht_key0"][h] == key0 and ht["ht_key1"][h] == key1:
+            return int(ht["ht_lo"][h]), int(ht["ht_cnt"][h])
+        h = (h + 1) & mask
+    return None
+
+
+def test_kmer_table_contains_all_kmers(toy_world):
+    idx = toy_world["idx"]
+    assert idx.kmer_ht is not None
+    ht = idx.kmer_ht
+    k = idx.k
+    key0s, key1s = suffix_keys(idx.packed16, idx.sa, k)
+    sub = np.where(idx.codes >= 4, 0, idx.codes)
+    rng = np.random.default_rng(0)
+    # every sampled suffix's k-mer resolves to an interval containing it
+    for j in rng.integers(0, idx.text_len, 300):
+        res = _lookup(ht, int(key0s[j]), int(key1s[j]))
+        assert res is not None
+        lo, cnt = res
+        assert lo <= j < lo + cnt
+        # interval members share the (A-substituted, A-padded) key —
+        # suffixes shorter than k pad with A by design; their LCP is
+        # later capped by sep_dist so they can never become false hits
+        for m in (lo, lo + cnt - 1):
+            assert key0s[m] == key0s[j] and key1s[m] == key1s[j]
+        if lo > 0:
+            assert (key0s[lo - 1], key1s[lo - 1]) != (key0s[j], key1s[j])
+        if lo + cnt < idx.text_len:
+            assert (key0s[lo + cnt], key1s[lo + cnt]) != (key0s[j], key1s[j])
+
+
+def test_kmer_table_rejects_absent_kmer(toy_world):
+    idx = toy_world["idx"]
+    # a k-mer crafted to (almost surely) not exist: alternating pattern
+    pat = dna.encode("ACGT" * 8)[: idx.k]
+    w = dna.pack_words_u32(np.pad(pat, (0, 32)))
+    key0, key1 = int(w[0]), int(w[16]) >> (2 * (32 - idx.k))
+    res = _lookup(idx.kmer_ht, key0, key1)
+    if res is not None:  # if it does exist, interval must be real
+        lo, cnt = res
+        assert cnt > 0
+
+
+def test_sep_distances():
+    codes = dna.encode("ACGT")
+    codes = np.concatenate([codes, [4], dna.encode("GG"), [4]])
+    d = sep_distances(codes)
+    assert list(d) == [4, 3, 2, 1, 0, 2, 1, 0]
+
+
+def test_sep_distances_saturation():
+    codes = np.zeros(1000, dtype=np.uint8)
+    codes[-1] = 4
+    d = sep_distances(codes)
+    assert d[0] == 255  # saturates
+    assert d[998] == 1 and d[999] == 0
