@@ -66,6 +66,13 @@ class QuantOpts:
     max_mmps: int = 4              # max MMP seeds recorded per read per
                                    # orientation (static capacity)
     max_scan_steps: int = 8        # max sequential seed-probe steps
+    mmp_skip: str = "jump"         # after an MMP of length l at position
+                                   # i: "jump" -> next probe at i+l+1
+                                   # (just past the mismatch; steps ~
+                                   # errors+1), "nip" -> i+max(1, l-k+1)
+                                   # (RapMap-style overlap re-probe,
+                                   # catches cross-transcript hits in
+                                   # windows spanning the mismatch)
     hit_capacity: int = 64         # max candidate loci per read per
                                    # orientation (static capacity); reads
                                    # exceeding it are treated like

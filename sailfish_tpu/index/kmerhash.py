@@ -56,10 +56,18 @@ def suffix_keys(packed16: np.ndarray, sa: np.ndarray, k: int):
     return key0, key1
 
 
-def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
-    """Group identical k-prefixes along the SA and hash-insert them.
+BUCKET = 4  # entries per bucket; one bucket = 4x4 u32 = 64 contiguous bytes
 
-    Returns dict(ht_key0, ht_key1, ht_lo, ht_cnt, ht_bits, max_probes).
+
+def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
+    """Group identical k-prefixes along the SA and insert them into a
+    4-way bucketized open-addressing table (linear probing over
+    BUCKETS).  Bucketization keeps the worst-case probe chain tiny
+    (max_probes is typically <= 3 at load factor 0.5) and each probe
+    reads 4 contiguous entries.
+
+    Returns dict(ht_key0, ht_key1, ht_lo, ht_cnt — each (S, BUCKET) —
+    ht_bits = log2(S), max_probes).
     """
     n = len(sa)
     key0, key1 = suffix_keys(packed16, sa, k)
@@ -72,49 +80,54 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
     G = len(lo)
 
     bits = 2
-    while (1 << bits) < 2 * G:
+    while (1 << bits) * BUCKET < 2 * G:
         bits += 1
     S = 1 << bits
     mask = np.uint32(S - 1)
 
     h = (mix_hash_u32(g0, g1) & mask).astype(np.int64)
-    slot_of_group = np.full(G, -1, dtype=np.int64)
-    taken = np.zeros(S, dtype=bool)
+    slot_of_group = np.full(G, -1, dtype=np.int64)   # flat slot = b*BUCKET+j
+    fill = np.zeros(S, dtype=np.int64)               # entries used per bucket
     todo = np.arange(G)
     idx = h.copy()
     attempts = 0
-    max_probes = 1
     while len(todo):
         attempts += 1
-        if attempts > 8192:
+        if attempts > 4096:
             raise RuntimeError("k-mer hash insertion did not converge")
         order = np.argsort(idx[todo], kind="stable")
         cand = todo[order]
         tgt = idx[cand]
+        # rank of each candidate within its target bucket this round
+        pos = np.arange(len(cand))
         first = np.ones(len(cand), dtype=bool)
         first[1:] = tgt[1:] != tgt[:-1]
-        ok = first & ~taken[tgt]
+        grp = np.cumsum(first) - 1
+        rank = pos - pos[first][grp]
+        slot_j = fill[tgt] + rank
+        ok = slot_j < BUCKET
         placed = cand[ok]
-        slot_of_group[placed] = tgt[ok]
-        taken[tgt[ok]] = True
+        slot_of_group[placed] = tgt[ok] * BUCKET + slot_j[ok]
+        np.add.at(fill, tgt[ok], 1)
         remaining = cand[~ok]
         idx[remaining] = (idx[remaining] + 1) & int(mask)
         todo = remaining
-        max_probes = attempts
+    max_probes = attempts
 
-    ht_key0 = np.zeros(S, dtype=np.uint32)
-    ht_key1 = np.zeros(S, dtype=np.uint32)
-    ht_lo = np.zeros(S, dtype=np.int32)
-    ht_cnt = np.zeros(S, dtype=np.int32)
+    ht_key0 = np.zeros(S * BUCKET, dtype=np.uint32)
+    ht_key1 = np.zeros(S * BUCKET, dtype=np.uint32)
+    ht_lo = np.zeros(S * BUCKET, dtype=np.int32)
+    ht_cnt = np.zeros(S * BUCKET, dtype=np.int32)
     ht_key0[slot_of_group] = g0
     ht_key1[slot_of_group] = g1
     ht_lo[slot_of_group] = lo.astype(np.int32)
-    ht_cnt[slot_of_group] = cnt.astype(np.int32)
+    ht_cnt[slot_of_group] = cnt.astype(np.int64).astype(np.int32)
+    shape = (S, BUCKET)
     return {
-        "ht_key0": ht_key0,
-        "ht_key1": ht_key1,
-        "ht_lo": ht_lo,
-        "ht_cnt": ht_cnt,
+        "ht_key0": ht_key0.reshape(shape),
+        "ht_key1": ht_key1.reshape(shape),
+        "ht_lo": ht_lo.reshape(shape),
+        "ht_cnt": ht_cnt.reshape(shape),
         "ht_bits": bits,
         "max_probes": int(max_probes),
     }

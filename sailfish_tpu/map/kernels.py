@@ -81,7 +81,8 @@ def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
 @partial(
     jax.jit,
     static_argnames=("k", "prefix_bases", "cand_cap", "max_mmps", "max_steps",
-                     "bs_iters", "use_hash", "ht_probes", "ht_bits"),
+                     "bs_iters", "use_hash", "ht_probes", "ht_bits",
+                     "skip_jump"),
 )
 def map_oriented_lanes(
     text,          # dict of device index arrays (see pipeline.prep)
@@ -96,6 +97,7 @@ def map_oriented_lanes(
     use_hash: bool = False,
     ht_probes: int = 0,
     ht_bits: int = 0,
+    skip_jump: bool = True,
 ):
     sa = text["sa"]                  # int32[N]
     pa = text["packed16"]            # uint32[N + pad]
@@ -123,26 +125,34 @@ def map_oriented_lanes(
         )[:, 0]
 
     def seed_hash(i, active):
-        """Exact-k interval via hash probe.  Requires k >= 17."""
+        """Exact-k interval via 4-way bucketized hash probe (k >= 17).
+        Each probe reads one 64-byte bucket row of each table array."""
         key0 = take1(pw_a, i)
         key1 = take1(pw_a, i + 16) >> key1_shift
-        mask = jnp.uint32((1 << ht_bits) - 1)
-        h0 = (_mix_u32(key0, key1) & mask).astype(jnp.int32)
+        mask = jnp.int32((1 << ht_bits) - 1)
+        h0 = (_mix_u32(key0, key1) & mask.astype(jnp.uint32)).astype(jnp.int32)
         ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
         ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
 
         def body(_, st):
             h, done, found, lo, cnt = st
-            c = ht_cnt[h]
-            k0 = ht_key0[h]
-            k1 = ht_key1[h]
-            hit = (~done) & (c > 0) & (k0 == key0) & (k1 == key1)
-            empty = (~done) & (c == 0)
-            lo = jnp.where(hit, ht_lo[h], lo)
-            cnt = jnp.where(hit, c, cnt)
+            cr = ht_cnt[h]                      # (B2, BUCKET)
+            k0r = ht_key0[h]
+            k1r = ht_key1[h]
+            match = (cr > 0) & (k0r == key0[:, None]) & (k1r == key1[:, None])
+            anym = match.any(axis=1)
+            j = jnp.argmax(match, axis=1)[:, None]
+            hit = (~done) & anym
+            lo = jnp.where(
+                hit, jnp.take_along_axis(ht_lo[h], j, axis=1)[:, 0], lo
+            )
+            cnt = jnp.where(
+                hit, jnp.take_along_axis(cr, j, axis=1)[:, 0], cnt
+            )
+            has_empty = (cr == 0).any(axis=1)
             found = found | hit
-            done = done | hit | empty
-            h = jnp.where(done, h, (h + 1) & jnp.int32((1 << ht_bits) - 1))
+            done = done | anym | has_empty
+            h = jnp.where(done, h, (h + 1) & mask)
             return (h, done, found, lo, cnt)
 
         zeros = jnp.zeros(B2, jnp.int32)
@@ -151,7 +161,8 @@ def map_oriented_lanes(
             (h0, jnp.zeros(B2, bool), jnp.zeros(B2, bool), zeros, zeros),
         )
         found = found & active
-        # a miss (empty slot or probe exhaustion) proves no exact-k match
+        # a miss (empty entry in a probed bucket, or probe exhaustion)
+        # proves no exact-k match
         return lo, jnp.where(found, cnt, 0), found, active & ~found
 
     def seed_prefix(i, pvalid):
@@ -187,7 +198,7 @@ def map_oriented_lanes(
         csize = jnp.where(proven_miss, 0, hi - lo)
         return lo, csize, pvalid & ~proven_miss, proven_miss
 
-    def scan_step(state, _):
+    def scan_step(state):
         i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
         active = (i + k <= lens) & (nm < M)
 
@@ -245,9 +256,12 @@ def map_oriented_lanes(
 
         overflow = overflow | step_overflow
         nm = nm + hit.astype(jnp.int32)
-        adv = jnp.where(hit, jnp.maximum(1, lstar - k + 1), 1)
+        if skip_jump:
+            adv = jnp.where(hit, lstar + 1, 1)
+        else:
+            adv = jnp.where(hit, jnp.maximum(1, lstar - k + 1), 1)
         i = i + jnp.where(active, adv, 0)
-        return (i, nm, overflow, mlen, m_txp, m_pos, m_vld), None
+        return (i, nm, overflow, mlen, m_txp, m_pos, m_vld)
 
     init = (
         jnp.zeros(B2, jnp.int32),                       # i
@@ -258,8 +272,18 @@ def map_oriented_lanes(
         jnp.zeros((B2, M, C), jnp.int32),               # mmp pos
         jnp.zeros((B2, M, C), bool),                    # mmp cand valid
     )
-    (i, nm, overflow, mlen, m_txp, m_pos, m_vld), _ = jax.lax.scan(
-        scan_step, init, None, length=max_steps
+    # while_loop with global early exit: typical batches finish in 2-4
+    # steps (one MMP per sequencing error + one), far below max_steps
+    def loop_cond(st):
+        step, (i, nm, *_rest) = st
+        return (step < max_steps) & jnp.any((i + k <= lens) & (nm < M))
+
+    def loop_body(st):
+        step, inner = st
+        return (step + 1, scan_step(inner))
+
+    _, (i, nm, overflow, mlen, m_txp, m_pos, m_vld) = jax.lax.while_loop(
+        loop_cond, loop_body, (jnp.asarray(0, jnp.int32), init)
     )
 
     # --- position-consistent intersection: base = MMP slot 0 ---

@@ -132,7 +132,7 @@ def _pe_compat(
     jax.jit,
     static_argnames=(
         "paired_end", "cand_cap", "max_read_occs", "allow_orphans",
-        "allow_dovetail", "ignore_compat", "enforce_compat",
+        "allow_dovetail", "ignore_compat", "enforce_compat", "return_slots",
     ),
 )
 def merge_and_collapse(
@@ -147,6 +147,7 @@ def merge_and_collapse(
     allow_dovetail: bool,
     ignore_compat: bool,
     enforce_compat: bool,
+    return_slots: bool = False,
 ):
     """Fragment-level merge + label formation.
 
@@ -289,7 +290,7 @@ def merge_and_collapse(
     h1 = jnp.where(mapped, h1, jnp.uint32(0xFFFFFFFF))
     h2 = jnp.where(mapped, h2, jnp.uint32(0xFFFFFFFF))
 
-    return {
+    out = {
         "label": label,
         "label_len": label_len,
         "h1": h1,
@@ -302,6 +303,21 @@ def merge_and_collapse(
         "num_rc": num_rc,
         "overflow": overflow,
     }
+    if return_slots:
+        # joint-hit slot arrays for bias-model observation (device-
+        # resident; consumed by stats/bias.bias_observe)
+        out["slots"] = {
+            "txp": txp,
+            "pos": pos,
+            "fwd": fwd,
+            "mpos": mpos if paired_end else jnp.zeros_like(pos),
+            "mfwd": mfwd if paired_end else jnp.zeros_like(fwd),
+            "status": status,
+            "valid": valid,
+            "frag_len": slot_fraglen,
+            "mapped": mapped,
+        }
+    return out
 
 
 @jax.jit

@@ -46,6 +46,9 @@ class BatchResult:
     frag_lens: np.ndarray       # (n,) int32
     per_read: list | None = None  # refimpl backend: per-fragment
     # ReadMapping records (carries joint hits for bias observation)
+    seq_samples: np.ndarray | None = None  # device backend: per-fragment
+    # 6-mer context sample (-1 = none), file order
+    gc_hist: np.ndarray | None = None      # device backend: (101,) GC obs
 
 
 def _bucket(n: int) -> int:
@@ -58,6 +61,32 @@ def _bucket(n: int) -> int:
 @jax.jit
 def _gather_rows(mat, idx):
     return jnp.take(mat, idx, axis=0)
+
+
+@jax.jit
+def _pack_stats(out):
+    """Pack per-fragment stats into one (B, 7) int32 matrix so the host
+    pulls a single array per batch (tunnel roundtrips are expensive)."""
+    return jnp.stack(
+        [
+            out["mapped"].astype(jnp.int32),
+            out["num_joint"].astype(jnp.int32),
+            out["num_fwd"].astype(jnp.int32),
+            out["num_rc"].astype(jnp.int32),
+            out["unique_paired"].astype(jnp.int32),
+            out["frag_len"].astype(jnp.int32),
+            out["label_len"].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+@jax.jit
+def _pack_collapse(is_first, group_count, order):
+    return jnp.stack(
+        [is_first.astype(jnp.int32), group_count.astype(jnp.int32), order],
+        axis=1,
+    )
 
 
 class DeviceMapperBackend:
@@ -83,6 +112,23 @@ class DeviceMapperBackend:
             "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
             "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
         }
+        self.bias_text = None
+        self._bias_flags = (False, False)
+        if opts.bias_correct or opts.gc_bias_correct:
+            from .. import dna as _dna
+
+            gc_excl = np.zeros(index.text_len + 1, dtype=np.int32)
+            np.cumsum(
+                (index.codes == _dna.G) | (index.codes == _dna.C),
+                out=gc_excl[1:],
+            )
+            self.bias_text = {
+                "packed16": self.text["packed16"],
+                "gc_excl": jnp.asarray(gc_excl),
+                "txp_offsets": self.text["txp_offsets"],
+                "txp_lens": jnp.asarray(index.txp_lens, jnp.int32),
+            }
+            self._bias_flags = (opts.bias_correct, opts.gc_bias_correct)
         self.use_hash = index.kmer_ht is not None
         self.ht_bits = 0
         self.ht_probes = 0
@@ -128,6 +174,7 @@ class DeviceMapperBackend:
             use_hash=self.use_hash,
             ht_probes=self.ht_probes,
             ht_bits=self.ht_bits,
+            skip_jump=(opts.mmp_skip == "jump"),
         )
         B = codes.shape[0]
 
@@ -147,14 +194,27 @@ class DeviceMapperBackend:
         pl[:n] = lens
         return pc, pl
 
-    def _finish(self, out, n: int) -> BatchResult:
-        is_first, group_count, order = collapse_batch(
-            out["h1"], out["h2"], out["mapped"]
+    def _finish(self, out, n: int, lens1=None, lens2=None) -> BatchResult:
+        seq_samples = gc_hist = None
+        if self.bias_text is not None and "slots" in out:
+            from ..stats.bias import bias_observe_device
+
+            seq_on, gc_on = self._bias_flags
+            ss, gh = bias_observe_device(
+                out["slots"], self.bias_text, lens1, lens2,
+                gc_on=gc_on, seq_on=seq_on,
+            )
+            seq_samples = np.asarray(ss)[:n]
+            gc_hist = np.asarray(gh)
+        cb = _pack_collapse(
+            *collapse_batch(out["h1"], out["h2"], out["mapped"])
         )
-        is_first = np.asarray(is_first)
-        group_count = np.asarray(group_count)
-        order = np.asarray(order)
-        label_len = np.asarray(out["label_len"])
+        stats = np.asarray(_pack_stats(out))     # one D2H pull
+        cb = np.asarray(cb)                      # one D2H pull
+        is_first = cb[:, 0].astype(bool)
+        group_count = cb[:, 1]
+        order = cb[:, 2]
+        label_len = stats[:, 6]
 
         rep_pos = np.nonzero(is_first)[0]
         rep_idx = order[rep_pos]
@@ -169,17 +229,18 @@ class DeviceMapperBackend:
             for r, li in zip(rows, rep_idx):
                 labels.append(tuple(int(t) for t in r[: label_len[li]]))
 
-        mapped = np.asarray(out["mapped"])[:n]
         return BatchResult(
             n=n,
             labels=labels,
             label_counts=counts,
-            mapped=mapped,
-            num_joint=np.asarray(out["num_joint"])[:n],
-            num_fwd=int(np.asarray(out["num_fwd"])[:n].sum()),
-            num_rc=int(np.asarray(out["num_rc"])[:n].sum()),
-            unique_paired=np.asarray(out["unique_paired"])[:n],
-            frag_lens=np.asarray(out["frag_len"])[:n],
+            mapped=stats[:n, 0].astype(bool),
+            num_joint=stats[:n, 1],
+            num_fwd=int(stats[:n, 2].sum()),
+            num_rc=int(stats[:n, 3].sum()),
+            unique_paired=stats[:n, 4].astype(bool),
+            frag_lens=stats[:n, 5],
+            seq_samples=seq_samples,
+            gc_hist=gc_hist,
         )
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
@@ -201,8 +262,9 @@ class DeviceMapperBackend:
             allow_dovetail=opts.allow_dovetail,
             ignore_compat=opts.ignore_lib_compat,
             enforce_compat=opts.enforce_lib_compat,
+            return_slots=self.bias_text is not None,
         )
-        return self._finish(out, n)
+        return self._finish(out, n, jnp.asarray(l1), jnp.asarray(l2))
 
     def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
         opts = self.opts

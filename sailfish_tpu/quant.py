@@ -160,19 +160,12 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     )
     acc = EqClassAccumulator()
 
-    # bias model observations
+    # bias model observations (device backend observes on-device; the
+    # refimpl backend replays the reference's per-hit loop)
     bias_state = None
     if opts.bias_correct or opts.gc_bias_correct:
         from .stats.bias import BiasState
 
-        if backend == "device":
-            # device-side bias observation kernels land with the Pallas
-            # mapping path; until then the oracle backend observes
-            log.warning(
-                "bias correction currently requires the refimpl mapping "
-                "backend; switching backend to refimpl"
-            )
-            backend = "refimpl"
         bias_state = BiasState(opts)
 
     max_len = 0

@@ -131,7 +131,11 @@ class RefMapper:
                 continue
             best = cand_gpos[lcps == lstar]
             mmps.append((i, lstar, best))
-            i += max(1, lstar - k + 1)
+            if opts.mmp_skip == "jump":
+                # next probe just past the mismatch that ended this MMP
+                i += lstar + 1
+            else:  # "nip": RapMap-style overlap re-probe
+                i += max(1, lstar - k + 1)
         return mmps
 
     def _orient_hits(self, read: np.ndarray, fwd: bool) -> dict[int, Hit]:

@@ -120,19 +120,124 @@ class BiasState:
         return False
 
     def observe_batch(self, index, b1, b2, br) -> None:
-        """Refimpl-backend batch observation (PE)."""
-        if not hasattr(br, "per_read") or br.per_read is None:
+        """Batch observation (PE) — refimpl per_read path or the device
+        backend's precomputed (seq_samples, gc_hist)."""
+        if getattr(br, "per_read", None) is not None:
+            for i, rm in enumerate(br.per_read):
+                if rm.joint:  # reference observes every joint hit
+                    self.observe_fragment(
+                        index, rm, int(b1.lens[i]), int(b2.lens[i])
+                    )
             return
-        for i, rm in enumerate(br.per_read):
-            if rm.label is not None:
-                self.observe_fragment(index, rm, int(b1.lens[i]), int(b2.lens[i]))
+        self._consume_device_obs(br)
 
     def observe_batch_se(self, index, b, br) -> None:
-        if not hasattr(br, "per_read") or br.per_read is None:
+        if getattr(br, "per_read", None) is not None:
+            for i, rm in enumerate(br.per_read):
+                if rm.joint:
+                    self.observe_fragment(index, rm, int(b.lens[i]), 0)
             return
-        for i, rm in enumerate(br.per_read):
-            if rm.label is not None:
-                self.observe_fragment(index, rm, int(b.lens[i]), 0)
+        self._consume_device_obs(br)
+
+    def _consume_device_obs(self, br) -> None:
+        """Fold the device backend's per-batch bias observations in file
+        order (seq samples respect the global --numBiasSamples budget)."""
+        if getattr(br, "gc_hist", None) is not None:
+            self.observed_gc += br.gc_hist.astype(np.int64)
+        samples = getattr(br, "seq_samples", None)
+        if samples is not None and self.opts.bias_correct:
+            ok = samples[samples >= 0]
+            if self.remaining_bias_samples > 0:
+                take = ok[: self.remaining_bias_samples]
+                if len(take):
+                    self.read_bias_counts += np.bincount(
+                        take, minlength=NUM_KMER_BINS
+                    )
+                    self.remaining_bias_samples -= len(take)
+
+
+def bias_observe_device(slots, bias_text, lens1, lens2, *, gc_on: bool,
+                        seq_on: bool):
+    """Device-side bias observation over joint-hit slots.
+
+    Mirrors the per-hit loop (src/SailfishQuantify.cpp:260-393):
+      * seq bias: the FIRST joint hit whose context window fits yields
+        one 6-mer sample per fragment (budget gating happens on host)
+      * GC: every valid paired slot with 0 < start and stop < RefLength
+        contributes one observation
+
+    Returns (seq_sample (B,) int32 with -1 = none, gc_hist (101,) int32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    packed16 = bias_text["packed16"]
+    gc_excl = bias_text["gc_excl"]          # int32[N+1] exclusive prefix
+    txp_offsets = bias_text["txp_offsets"]  # int32[T]
+    txp_lens = bias_text["txp_lens"]        # int32[T]
+
+    txp = slots["txp"]
+    pos = slots["pos"]
+    fwd = slots["fwd"]
+    status = slots["status"]
+    valid = slots["valid"]
+    B, W = txp.shape
+
+    from ..map.pair import LEFT, PAIRED, RIGHT
+
+    read_len = jnp.where(
+        status == RIGHT, lens2[:, None], lens1[:, None]
+    ).astype(jnp.int32)
+    ref_len = txp_lens[txp]
+    off = txp_offsets[txp]
+
+    seq_sample = jnp.full(B, -1, jnp.int32)
+    if seq_on:
+        start_pos = jnp.where(fwd, pos, pos + read_len)
+        in_ref = (start_pos > 0) & (start_pos < ref_len)
+        # fwd hit: RC 6-mer at start-2; rc hit: FWD 6-mer at start-4
+        w_off = jnp.where(fwd, 2, 4)
+        fits = jnp.where(
+            fwd,
+            (start_pos >= 2) & (start_pos - 2 + K_BIAS < ref_len),
+            (start_pos >= 4) & (start_pos - 4 + K_BIAS < ref_len),
+        )
+        ok = valid & in_ref & fits
+        g = jnp.clip(off + start_pos - w_off, 0,
+                     packed16.shape[0] - 1)
+        fwd6 = (packed16[g] >> jnp.uint32(20)).astype(jnp.int32)
+        # reverse complement of a 6-mer index
+        rc6 = jnp.zeros_like(fwd6)
+        for j in range(K_BIAS):
+            base = (fwd6 >> (2 * (K_BIAS - 1 - j))) & 3
+            rc6 = rc6 | ((3 - base) << (2 * j))
+        kidx = jnp.where(fwd, rc6, fwd6)
+        # first qualifying slot per fragment
+        first = jnp.argmax(ok, axis=1)
+        has = ok.any(axis=1)
+        seq_sample = jnp.where(
+            has,
+            jnp.take_along_axis(kidx, first[:, None], axis=1)[:, 0],
+            -1,
+        )
+
+    gc_hist = jnp.zeros(101, jnp.int32)
+    if gc_on:
+        is_p = status == PAIRED
+        start = jnp.minimum(pos, slots["mpos"])
+        stop = start + slots["frag_len"]
+        ok = valid & is_p & (start > 0) & (stop < ref_len)
+        gs = jnp.clip(off + start + 1, 0, gc_excl.shape[0] - 1)
+        ge = jnp.clip(off + stop + 1, 0, gc_excl.shape[0] - 1)
+        gc = (gc_excl[ge] - gc_excl[gs]).astype(jnp.float32)
+        frac = jnp.rint(
+            100.0 * gc / jnp.maximum(stop - start + 1, 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        frac = jnp.clip(frac, 0, 100)
+        gc_hist = jnp.bincount(
+            jnp.where(ok, frac, 101).reshape(-1), length=102
+        )[:101].astype(jnp.int32)
+    return seq_sample, gc_hist
 
 
 def update_effective_lengths(
@@ -257,14 +362,18 @@ def update_effective_lengths(
     seq_prior = 0.0
     if opts.bias_correct:
         pmass = float(NUM_KMER_BINS)
-        seq_prior = ((pmass / (read_norm - pmass)) * txome_norm) / pmass
+        # guard the degenerate no-observations case (read_norm == pmass
+        # from pseudocounts alone; the reference would divide by zero)
+        seq_prior = ((pmass / max(read_norm - pmass, 1.0)) * txome_norm) / pmass
 
     gc_read_norm = float(bias.observed_gc.sum())
     gc_txome_norm = float(expected_gc.sum())
     gc_prior = 0.0
     if opts.gc_bias_correct:
         pmass = 101.0
-        gc_prior = ((pmass / (gc_read_norm - pmass)) * gc_txome_norm) / 101.0
+        gc_prior = (
+            (pmass / max(gc_read_norm - pmass, 1.0)) * gc_txome_norm
+        ) / 101.0
 
     # ---- pass B: per-position factors -> effective lengths (:806-924) ----
     eff_out = eff_in.copy()

@@ -15,10 +15,11 @@ def _lookup(ht, key0, key1):
     mask = (1 << ht["ht_bits"]) - 1
     h = int(mix_hash_u32(np.uint32(key0), np.uint32(key1))) & mask
     for _ in range(ht["max_probes"]):
-        if ht["ht_cnt"][h] == 0:
-            return None
-        if ht["ht_key0"][h] == key0 and ht["ht_key1"][h] == key1:
-            return int(ht["ht_lo"][h]), int(ht["ht_cnt"][h])
+        for j in range(ht["ht_cnt"].shape[1]):
+            if ht["ht_cnt"][h, j] == 0:
+                return None
+            if ht["ht_key0"][h, j] == key0 and ht["ht_key1"][h, j] == key1:
+                return int(ht["ht_lo"][h, j]), int(ht["ht_cnt"][h, j])
         h = (h + 1) & mask
     return None
 
