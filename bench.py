@@ -93,6 +93,14 @@ def simulate_batches(seqs, rng):
 def main():
     import jax
 
+    # persistent compile cache: amortizes the (slow, possibly remote)
+    # kernel compilation across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     rng = np.random.default_rng(0)
     idx, seqs = build_world(rng)
     batches = simulate_batches(seqs, rng)

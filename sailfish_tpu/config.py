@@ -65,7 +65,9 @@ class QuantOpts:
     num_threads: int = 4           # host-side IO / decode workers
     max_mmps: int = 4              # max MMP seeds recorded per read per
                                    # orientation (static capacity)
-    max_scan_steps: int = 8        # max sequential seed-probe steps
+    max_scan_steps: int = 4        # max sequential seed-probe steps
+                                   # (with mmp_skip="jump", a read needs
+                                   # ~#errors+1 steps)
     mmp_skip: str = "jump"         # after an MMP of length l at position
                                    # i: "jump" -> next probe at i+l+1
                                    # (just past the mismatch; steps ~

@@ -272,18 +272,12 @@ def map_oriented_lanes(
         jnp.zeros((B2, M, C), jnp.int32),               # mmp pos
         jnp.zeros((B2, M, C), bool),                    # mmp cand valid
     )
-    # while_loop with global early exit: typical batches finish in 2-4
-    # steps (one MMP per sequencing error + one), far below max_steps
-    def loop_cond(st):
-        step, (i, nm, *_rest) = st
-        return (step < max_steps) & jnp.any((i + k <= lens) & (nm < M))
-
-    def loop_body(st):
-        step, inner = st
-        return (step + 1, scan_step(inner))
-
-    _, (i, nm, overflow, mlen, m_txp, m_pos, m_vld) = jax.lax.while_loop(
-        loop_cond, loop_body, (jnp.asarray(0, jnp.int32), init)
+    # NOTE: a while_loop with an any(active) early exit was tried here
+    # and made XLA compilation pathological (minutes instead of ~1s);
+    # lax.scan with a small static step count (jump-skip needs only
+    # ~errors+1 steps) compiles fast and wastes little.
+    (i, nm, overflow, mlen, m_txp, m_pos, m_vld), _ = jax.lax.scan(
+        lambda st, _: (scan_step(st), None), init, None, length=max_steps
     )
 
     # --- position-consistent intersection: base = MMP slot 0 ---

@@ -243,7 +243,10 @@ class DeviceMapperBackend:
             gc_hist=gc_hist,
         )
 
-    def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
+    # Submission is async (jax dispatch); _finish is the only sync
+    # point.  submit_pe/finish_batch let the driver run a one-deep
+    # pipeline: device maps batch n+1 while the host folds batch n.
+    def submit_pe(self, b1, b2, expected: LibraryFormat):
         opts = self.opts
         n = b1.count
         c1, l1 = self._pad_batch(b1.codes, b1.lens)
@@ -264,9 +267,16 @@ class DeviceMapperBackend:
             enforce_compat=opts.enforce_lib_compat,
             return_slots=self.bias_text is not None,
         )
-        return self._finish(out, n, jnp.asarray(l1), jnp.asarray(l2))
+        return (out, n, jnp.asarray(l1), jnp.asarray(l2))
 
-    def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
+    def finish_batch(self, token) -> BatchResult:
+        out, n, l1, l2 = token
+        return self._finish(out, n, l1, l2)
+
+    def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
+        return self.finish_batch(self.submit_pe(b1, b2, expected))
+
+    def submit_se(self, b, expected: LibraryFormat):
         opts = self.opts
         n = b.count
         c1, l1 = self._pad_batch(b.codes, b.lens)
@@ -283,5 +293,9 @@ class DeviceMapperBackend:
             allow_dovetail=opts.allow_dovetail,
             ignore_compat=opts.ignore_lib_compat,
             enforce_compat=opts.enforce_lib_compat,
+            return_slots=self.bias_text is not None,
         )
-        return self._finish(out, n)
+        return (out, n, jnp.asarray(l1), jnp.asarray(l1))
+
+    def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
+        return self.finish_batch(self.submit_se(b, expected))

@@ -89,6 +89,16 @@ class RefMapperBackend:
             out.append(self.mapper.map_fragment_se(r, expected))
         return self._wrap(out)
 
+    # synchronous submit/finish (pipeline interface parity)
+    def submit_pe(self, b1, b2, expected):
+        return self.map_pe_batch(b1, b2, expected)
+
+    def submit_se(self, b, expected):
+        return self.map_se_batch(b, expected)
+
+    def finish_batch(self, token):
+        return token
+
 
 def _accumulate(br, state: ExperimentState, acc: EqClassAccumulator,
                 max_frag_len: int):
@@ -168,28 +178,41 @@ def run_quant(opts: QuantOpts, backend: str = "device",
 
         bias_state = BiasState(opts)
 
-    max_len = 0
+    # One-deep pipeline: the device maps batch n+1 while the host folds
+    # batch n (jax dispatch is async; finish_batch is the sync point).
     t_map0 = time.time()
+    pending = None  # (token, observe_args)
+
+    def fold(pending):
+        token, obs = pending
+        br = mapper.finish_batch(token)
+        _accumulate(br, state, acc, opts.max_frag_len)
+        if bias_state is not None:
+            if obs[1] is not None:
+                bias_state.observe_batch(index, obs[0], obs[1], br)
+            else:
+                bias_state.observe_batch_se(index, obs[0], br)
+
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
             for b1, b2 in iter_paired_fastq_batches(
                 f1, f2, opts.batch_size, max_len=_probe_max_len(f1)
             ):
-                max_len = max(max_len, int(b1.lens.max()), int(b2.lens.max()))
-                results = mapper.map_pe_batch(b1, b2, expected)
-                _accumulate(results, state, acc, opts.max_frag_len)
-                if bias_state is not None:
-                    bias_state.observe_batch(index, b1, b2, results)
+                token = mapper.submit_pe(b1, b2, expected)
+                if pending is not None:
+                    fold(pending)
+                pending = (token, (b1, b2))
     else:
         for f in opts.unmated_reads:
             for b in iter_fastq_batches(
                 f, opts.batch_size, max_len=_probe_max_len(f)
             ):
-                max_len = max(max_len, int(b.lens.max()))
-                results = mapper.map_se_batch(b, expected)
-                _accumulate(results, state, acc, opts.max_frag_len)
-                if bias_state is not None:
-                    bias_state.observe_batch_se(index, b, results)
+                token = mapper.submit_se(b, expected)
+                if pending is not None:
+                    fold(pending)
+                pending = (token, (b, None))
+    if pending is not None:
+        fold(pending)
     t_map = time.time() - t_map0
     log.info(
         "mapped %d/%d fragments (%.2f%%) in %.2fs (%.0f reads/s)",
