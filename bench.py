@@ -129,15 +129,28 @@ def main():
     log(f"warmup (compile) {time.time()-t0:.1f}s; "
         f"mapped {br.mapped.sum()}/{BATCH}")
 
+    # one-deep pipeline like the quant driver: device maps batch n+1
+    # while the host folds batch n
     acc = EqClassAccumulator()
     t0 = time.time()
     total = 0
     mapped = 0
+    pending = None
     for c1, c2, lens in batches:
-        br = run_batch(c1, c2, lens)
-        acc.add_many(br.labels, br.label_counts)
-        total += br.n
-        mapped += int(br.mapped.sum())
+        token = backend.submit_pe(
+            FastqBatch(codes=c1, lens=lens), FastqBatch(codes=c2, lens=lens),
+            expected,
+        )
+        if pending is not None:
+            br = backend.finish_batch(pending)
+            acc.add_many(br.labels, br.label_counts)
+            total += br.n
+            mapped += int(br.mapped.sum())
+        pending = token
+    br = backend.finish_batch(pending)
+    acc.add_many(br.labels, br.label_counts)
+    total += br.n
+    mapped += int(br.mapped.sum())
     dt = time.time() - t0
     reads_per_sec = total / dt
     log(f"mapped {mapped}/{total} in {dt:.2f}s -> {reads_per_sec:,.0f} reads/s; "

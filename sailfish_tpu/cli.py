@@ -59,6 +59,9 @@ def _add_quant_parser(sub):
     p.add_argument("--txpAggregationKey", default="gene_id")
     p.add_argument("--auxDir", default="aux")
     p.add_argument("--dumpEq", action="store_true")
+    p.add_argument("--resumeFromEq", default="",
+                   help="resume from an eq_classes.txt checkpoint (file "
+                   "or quant output dir): skip mapping, re-run inference")
     p.add_argument("--biasCorrect", action="store_true")
     p.add_argument("--gcBiasCorrect", action="store_true")
     p.add_argument("--gcSizeSamp", type=int, default=1)
@@ -104,13 +107,48 @@ def main(argv: list[str] | None = None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_index_parser(sub)
     _add_quant_parser(sub)
+    pm = sub.add_parser(
+        "mergeeq",
+        help="merge eq-class dumps from sharded quant runs into one",
+    )
+    pm.add_argument("dumps", nargs="+",
+                    help="eq_classes.txt files or quant output dirs")
+    pm.add_argument("-o", "--output", required=True,
+                    help="merged eq_classes.txt path")
     args = parser.parse_args(argv)
 
     if args.command == "index":
         return _main_index(args)
     if args.command == "quant":
         return _main_quant(args, argv)
+    if args.command == "mergeeq":
+        return _main_mergeeq(args)
     return 1
+
+
+def _main_mergeeq(args) -> int:
+    _setup_logging()
+    from .eqclass.io import find_eq_dump, merge_eq_dumps
+
+    paths = [find_eq_dump(d) for d in args.dumps]
+    names, eq = merge_eq_dumps(paths)
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    with open(args.output, "w") as fh:
+        fh.write(f"{len(names)}\n{eq.num_classes}\n")
+        for n in names:
+            fh.write(f"{n}\n")
+        for i in range(eq.num_classes):
+            label = eq.members[eq.offsets[i] : eq.offsets[i + 1]]
+            fh.write(
+                f"{len(label)}\t"
+                + "\t".join(str(int(t)) for t in label)
+                + f"\t{int(eq.counts[i])}\n"
+            )
+    logging.getLogger("sailfish_tpu").info(
+        "merged %d dumps -> %d classes (%d fragments)",
+        len(paths), eq.num_classes, eq.total_count(),
+    )
+    return 0
 
 
 def _main_index(args) -> int:
@@ -175,6 +213,7 @@ def _main_quant(args, argv) -> int:
         num_gibbs_samples=args.numGibbsSamples,
         num_bootstraps=args.numBootstraps,
         dump_eq=args.dumpEq,
+        resume_from_eq=args.resumeFromEq,
         gene_map=args.geneMap,
         txp_aggregation_key=args.txpAggregationKey,
         batch_size=args.batchSize,

@@ -55,8 +55,12 @@ class QuantOpts:
                                    # deterministic given the seed; the
                                    # reference used std::random_device)
 
-    # --- outputs ---
+    # --- outputs / resume ---
     dump_eq: bool = False          # --dumpEq (:1099)
+    resume_from_eq: str = ""       # path to an eq_classes.txt dump (or a
+                                   # quant output dir containing one):
+                                   # skip mapping and re-run inference +
+                                   # outputs from the checkpoint
     gene_map: str = ""             # --geneMap (:1081)
     txp_aggregation_key: str = "gene_id"  # --txpAggregationKey (:1115)
 

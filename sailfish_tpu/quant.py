@@ -136,10 +136,11 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     expected = parse_library_format(opts.lib_type)
     paired = expected.type == ReadType.PAIRED_END
-    if paired and (not opts.mates1 or not opts.mates2):
-        raise ValueError("paired-end libType requires --mates1/--mates2")
-    if not paired and not opts.unmated_reads:
-        raise ValueError("single-end libType requires --unmatedReads")
+    if not opts.resume_from_eq:
+        if paired and (not opts.mates1 or not opts.mates2):
+            raise ValueError("paired-end libType requires --mates1/--mates2")
+        if not paired and not opts.unmated_reads:
+            raise ValueError("single-end libType requires --unmatedReads")
     if opts.num_gibbs_samples > 0 and opts.num_bootstraps > 0:
         raise ValueError(
             "cannot perform both Gibbs sampling and bootstrapping; choose one"
@@ -162,13 +163,38 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     writer = QuantWriter(opts.output_dir, opts.aux_dir)
     writer.write_cmd_info(ordered_opts or [])
 
-    mapper = make_backend(index, opts, backend)
-
     state = ExperimentState(
         remaining_fl_ops=opts.num_frag_samples,
         fl_hist=np.zeros(opts.max_frag_len, dtype=np.int64),
     )
     acc = EqClassAccumulator()
+
+    if opts.resume_from_eq:
+        # checkpoint resume: inference + outputs from an eq-class dump
+        # (the FLD cannot be recovered from the dump, so effective
+        # lengths use the prior fallback — like the reference's disabled
+        # loadEquivClasses path, src/SailfishQuantify.cpp:1444-1495)
+        from .eqclass.io import find_eq_dump, read_eq_classes
+
+        dump = find_eq_dump(opts.resume_from_eq, opts.aux_dir)
+        log.info("resuming from eq-class checkpoint %s", dump)
+        dump_names, eq = read_eq_classes(dump)
+        if dump_names != names:
+            raise ValueError(
+                "eq-class dump transcript names do not match the index"
+            )
+        total = eq.total_count()
+        state.num_observed = total
+        state.num_mapped = total
+        state.num_frag_hits = total
+        state.upper_bound_hits = total
+        return _infer_and_write(
+            opts, index, names, ref_lens, num_txps, writer, state, eq,
+            bias_state=None, start_time=start_time, t_start=t_start,
+            t_map=0.0,
+        )
+
+    mapper = make_backend(index, opts, backend)
 
     # bias model observations (device backend observes on-device; the
     # refimpl backend replays the reference's per-hit loop)
@@ -223,7 +249,18 @@ def run_quant(opts: QuantOpts, backend: str = "device",
 
     eq = acc.finish()
     log.info("computed %d rich equivalence classes", eq.num_classes)
+    return _infer_and_write(
+        opts, index, names, ref_lens, num_txps, writer, state, eq,
+        bias_state=bias_state, start_time=start_time, t_start=t_start,
+        t_map=t_map, paired=paired,
+    )
 
+
+def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
+                     eq, *, bias_state, start_time, t_start, t_map,
+                     paired=True):
+    """Shared inference + output tail of the pipeline (also the resume
+    path's entry)."""
     # ---- effective lengths (src/SailfishQuantify.cpp:954-992) ----
     num_fld_obs = opts.num_frag_samples - state.remaining_fl_ops
     if opts.no_effective_length_correction:
@@ -351,7 +388,7 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     }
 
 
-def _probe_max_len(path: str, probe_reads: int = 64) -> int:
+def _probe_max_len(path: str, probe_reads: int = 1024) -> int:
     """Static read length for the batch shape: probe the first few reads
     and round up to a multiple of 8 (padding is masked everywhere)."""
     from .io.fastq import _iter_fastq_seq_blocks
