@@ -107,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_index_parser(sub)
     _add_quant_parser(sub)
+    sub.add_parser("sf", help="print the logo")  # easter-egg parity
+    # (reference src/Sailfish.cpp:73-85)
     pm = sub.add_parser(
         "mergeeq",
         help="merge eq-class dumps from sharded quant runs into one",
@@ -123,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
         return _main_quant(args, argv)
     if args.command == "mergeeq":
         return _main_mergeeq(args)
+    if args.command == "sf":
+        sys.stderr.write(r"""
+   _____       _ _______      __      __
+  / ___/____ _(_) / __(_)____/ /_    / /_____  __  __
+  \__ \/ __ `/ / / /_/ / ___/ __ \  / __/ __ \/ / / /
+ ___/ / /_/ / / / __/ (__  ) / / / / /_/ /_/ / /_/ /
+/____/\__,_/_/_/_/ /_/____/_/ /_/  \__/ .___/\__,_/
+                                     /_/
+""")
+        return 0
     return 1
 
 

@@ -221,9 +221,12 @@ def map_oriented_lanes(
         )
         g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (B2, C)
 
-        lcp = jnp.zeros((B2, C), dtype=jnp.int32)
+        # hash-seeded candidates share the first k bases (A-substituted),
+        # so the first floor(k/16) whole words need no comparison
+        w_start = (k // 16) if use_hash else 0
+        lcp = jnp.full((B2, C), 16 * w_start, dtype=jnp.int32)
         matched = jnp.ones((B2, C), dtype=bool)
-        for w in range(W16):
+        for w in range(w_start, W16):
             depth = 16 * w
             qa = take1(pw_a, i + depth)[:, None]
             ta = pa[g + depth]
