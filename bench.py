@@ -30,6 +30,8 @@ READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
 BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
+CAP = int(os.environ.get("BENCH_CAP", 32))
+SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
 
 
 def log(*a):
@@ -54,8 +56,6 @@ def build_world(rng):
 
 def simulate_batches(seqs, rng):
     """Pre-simulate all batches (vectorized) outside the timed region."""
-    from sailfish_tpu import dna
-
     L = (READ_LEN + 7) // 8 * 8
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=offsets[1:])
@@ -113,7 +113,7 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
-    opts = QuantOpts(batch_size=BATCH, hit_capacity=32)
+    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, scan_shrink=SHRINK)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 

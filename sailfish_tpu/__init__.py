@@ -19,4 +19,4 @@ __version__ = "0.1.0"
 
 # Version of the on-disk index layout (analog of the reference's
 # versionInfo.json indexVersion field, include/SailfishIndexVersionInfo.hpp).
-INDEX_VERSION = 2
+INDEX_VERSION = 3

@@ -15,7 +15,7 @@ import sys
 import time
 
 from . import __version__
-from .config import IndexOpts, QuantOpts
+from .config import QuantOpts
 
 
 def _setup_logging(output_dir: str | None = None) -> None:
@@ -89,6 +89,17 @@ def _add_quant_parser(sub):
     p.add_argument("--backend", choices=["device", "refimpl"], default="device")
     p.add_argument("--batchSize", type=int, default=65536)
     p.add_argument("--dtype", choices=["float32", "float64"], default="")
+    p.add_argument("--hitCapacity", type=int, default=64,
+                   help="static per-orientation candidate capacity of the "
+                   "device kernels; reads above it are dropped like "
+                   "--maxReadOcc")
+    p.add_argument("--scanShrink", type=int, default=1,
+                   help=">1: compact active lanes between MMP-scan steps, "
+                   "shrinking width by this factor per step (faster, "
+                   "bounded per-batch step budget)")
+    p.add_argument("--mmpSkip", choices=["jump", "nip"], default="jump",
+                   help="MMP advance rule: jump past the mismatch, or the "
+                   "RapMap-style overlap re-probe")
     return p
 
 
@@ -232,6 +243,9 @@ def _main_quant(args, argv) -> int:
         num_threads=args.numThreads,
         seed=args.seed,
         dtype=dtype,
+        hit_capacity=args.hitCapacity,
+        scan_shrink=args.scanShrink,
+        mmp_skip=args.mmpSkip,
     )
 
     # echo the ordered invocation like cmd_info.json (reference :1263-1277)

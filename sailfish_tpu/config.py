@@ -72,6 +72,12 @@ class QuantOpts:
     max_scan_steps: int = 4        # max sequential seed-probe steps
                                    # (with mmp_skip="jump", a read needs
                                    # ~#errors+1 steps)
+    scan_shrink: int = 1           # >1: scan steps after the first run on
+                                   # a compacted active-lane subset whose
+                                   # width shrinks by this factor per
+                                   # step; active lanes beyond the width
+                                   # are dropped as overflow (documented
+                                   # capacity; see map/kernels.py)
     mmp_skip: str = "jump"         # after an MMP of length l at position
                                    # i: "jump" -> next probe at i+l+1
                                    # (just past the mismatch; steps ~

@@ -8,8 +8,6 @@ Supports plain and gzip files.
 from __future__ import annotations
 
 import gzip
-import io
-import os
 
 import numpy as np
 

@@ -6,26 +6,32 @@ intervals stay above the candidate cap are flagged `overflow` and treated
 as unmapped (the analog in spirit of the reference's --maxReadOcc
 discard, src/SailfishQuantify.cpp:217).
 
-Per oriented lane (= read or its reverse complement), a lax.scan runs the
-MMP search:
+Per oriented lane (= read or its reverse complement), a fixed number of
+MMP-scan steps runs:
 
   1. seed lookup at the current position — either an exact-k-mer hash
-     probe (index/kmerhash.py; expected O(1), 4 gathers per probe, exact
+     probe (index/kmerhash.py; expected O(1), bucket-row gathers, exact
      static probe bound) or, for indexes without a table, a P-base
      prefix-table lookup plus packed-word binary-search refinement
   2. candidate LCPs against the A-substituted packed words, then capped
      by the index's SEP distance and the lane's next-non-ACGT distance —
      so matches can never cross a transcript boundary, an N, or the read
      end (one u32 gather per 16 bases per candidate + one u8 gather)
-  3. hit if max LCP >= k; advance by max(1, l* - k + 1), else by 1
+  3. hit if max LCP >= k; advance past the mismatch (skip_jump) or by
+     the RapMap-style overlap rule
 
-then a static intersection pass keeps first-MMP loci consistent with all
-later MMPs, dedupes per transcript (keeping the smallest position), and
-sorts hits by transcript id.
+With `scan_shrink > 1`, steps after the first run on a COMPACTED lane
+subset: still-active lanes sort to the front and the step executes at
+1/shrink^step width (lane state rows gather/scatter — contiguous row
+moves, cheap).  Active lanes beyond the shrunken width (possible only on
+adversarial batches; bounds are per-batch) are dropped as overflow.
+This trades a documented capacity for a ~steps/2 reduction in gather
+work, which is the kernel's bottleneck (~100M random gathers/s on a
+v5e via XLA).
 
-Everything is integer gather/compare — VPU work with HBM-resident index
-arrays.  A Pallas variant of the inner loop can slot in behind the same
-interface.
+After the scan, a static intersection pass keeps first-MMP loci
+consistent with all later MMPs, dedupes per transcript (keeping the
+smallest position), and sorts hits by transcript id.
 """
 
 from __future__ import annotations
@@ -82,7 +88,7 @@ def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
     jax.jit,
     static_argnames=("k", "prefix_bases", "cand_cap", "max_mmps", "max_steps",
                      "bs_iters", "use_hash", "ht_probes", "ht_bits",
-                     "skip_jump"),
+                     "skip_jump", "scan_shrink"),
 )
 def map_oriented_lanes(
     text,          # dict of device index arrays (see pipeline.prep)
@@ -98,6 +104,7 @@ def map_oriented_lanes(
     ht_probes: int = 0,
     ht_bits: int = 0,
     skip_jump: bool = True,
+    scan_shrink: int = 1,
 ):
     sa = text["sa"]                  # int32[N]
     pa = text["packed16"]            # uint32[N + pad]
@@ -106,29 +113,34 @@ def map_oriented_lanes(
     txp_of_pos = text["txp_of_pos"]  # int32[N]
     txp_offsets = text["txp_offsets"]  # int32[T]
 
-    codes = lanes["codes"]
-    B2, L = codes.shape
-    lens = lanes["lens"]
-    pw_a = lanes["pw_a"]
-    qpref, valid16, validP = lanes["qpref"], lanes["valid16"], lanes["validP"]
-    bad_dist = lanes["bad_dist"]
-
+    B2, L = lanes["codes"].shape
     C, M = cand_cap, max_mmps
     n_text = sa.shape[0]
     W16 = (L + 15) // 16  # number of 16-base words to compare for LCP
     key1_shift = jnp.uint32(2 * (32 - k)) if k > 16 else jnp.uint32(0)
 
+    # per-lane arrays the scan steps read (rows gather with the lanes
+    # during compaction)
+    laneset_full = {
+        "lens": lanes["lens"],
+        "pw_a": lanes["pw_a"],
+        "qpref": lanes["qpref"],
+        "valid16": lanes["valid16"],
+        "validP": lanes["validP"],
+        "bad_dist": lanes["bad_dist"],
+    }
+
     def take1(arr2d, i):
-        """arr2d (B2, L) gathered at per-lane position i (B2,) -> (B2,)"""
+        """arr2d (H, L) gathered at per-lane position i (H,) -> (H,)"""
         return jnp.take_along_axis(
             arr2d, jnp.clip(i, 0, L - 1)[:, None], axis=1
         )[:, 0]
 
-    def seed_hash(i, active):
-        """Exact-k interval via 4-way bucketized hash probe (k >= 17).
-        Each probe reads one 64-byte bucket row of each table array."""
-        key0 = take1(pw_a, i)
-        key1 = take1(pw_a, i + 16) >> key1_shift
+    def seed_hash(ls, i, active):
+        """Exact-k interval via bucketized hash probe (k >= 17)."""
+        H = i.shape[0]
+        key0 = take1(ls["pw_a"], i)
+        key1 = take1(ls["pw_a"], i + 16) >> key1_shift
         mask = jnp.int32((1 << ht_bits) - 1)
         h0 = (_mix_u32(key0, key1) & mask.astype(jnp.uint32)).astype(jnp.int32)
         ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
@@ -136,7 +148,7 @@ def map_oriented_lanes(
 
         def body(_, st):
             h, done, found, lo, cnt = st
-            cr = ht_cnt[h]                      # (B2, BUCKET)
+            cr = ht_cnt[h]                      # (H, BUCKET)
             k0r = ht_key0[h]
             k1r = ht_key1[h]
             match = (cr > 0) & (k0r == key0[:, None]) & (k1r == key1[:, None])
@@ -155,19 +167,19 @@ def map_oriented_lanes(
             h = jnp.where(done, h, (h + 1) & mask)
             return (h, done, found, lo, cnt)
 
-        zeros = jnp.zeros(B2, jnp.int32)
+        zeros = jnp.zeros(H, jnp.int32)
         _, done, found, lo, cnt = jax.lax.fori_loop(
             0, ht_probes, body,
-            (h0, jnp.zeros(B2, bool), jnp.zeros(B2, bool), zeros, zeros),
+            (h0, jnp.zeros(H, bool), jnp.zeros(H, bool), zeros, zeros),
         )
         found = found & active
         # a miss (empty entry in a probed bucket, or probe exhaustion)
         # proves no exact-k match
-        return lo, jnp.where(found, cnt, 0), found, active & ~found
+        return lo, jnp.where(found, cnt, 0), found
 
-    def seed_prefix(i, pvalid):
+    def seed_prefix(ls, i, pvalid):
         """Prefix-table seed + packed-word refinement (fallback path)."""
-        v = take1(qpref, i)
+        v = take1(ls["qpref"], i)
         v_safe = jnp.where(pvalid, v, 0)
         lo = table_lo[v_safe].astype(jnp.int32)
         hi = table_lo[v_safe + 1].astype(jnp.int32)
@@ -181,11 +193,11 @@ def map_oriented_lanes(
             depth = 16 * w
             need = (
                 (hi - lo > C)
-                & (i + depth + 16 <= lens)
-                & take1(valid16, i + depth)
+                & (i + depth + 16 <= ls["lens"])
+                & take1(ls["valid16"], i + depth)
                 & ~proven_miss
             )
-            qa = take1(pw_a, i + depth)
+            qa = take1(ls["pw_a"], i + depth)
             nlo = _search_bound(sa, pa, qa, lo, hi, depth, upper=False,
                                 iters=bs_iters)
             nhi = _search_bound(sa, pa, qa, lo, hi, depth, upper=True,
@@ -196,17 +208,19 @@ def map_oriented_lanes(
             lo = jnp.where(ok, nlo, lo)
             hi = jnp.where(ok, nhi, hi)
         csize = jnp.where(proven_miss, 0, hi - lo)
-        return lo, csize, pvalid & ~proven_miss, proven_miss
+        return lo, csize, pvalid & ~proven_miss
 
-    def scan_step(state):
+    def scan_step(ls, state):
         i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
+        H = i.shape[0]
+        lens = ls["lens"]
         active = (i + k <= lens) & (nm < M)
 
         if use_hash:
-            lo, csize, may_hit, _ = seed_hash(i, active)
+            lo, csize, may_hit = seed_hash(ls, i, active)
         else:
-            pvalid = take1(validP, i) & active
-            lo, csize, may_hit, _ = seed_prefix(i, pvalid)
+            pvalid = take1(ls["validP"], i) & active
+            lo, csize, may_hit = seed_prefix(ls, i, pvalid)
 
         step_overflow = may_hit & (csize > C)
         cnt = jnp.minimum(csize, C)
@@ -219,16 +233,16 @@ def map_oriented_lanes(
         cidx = lo[:, None] + jnp.minimum(
             crange, jnp.maximum(cnt[:, None] - 1, 0)
         )
-        g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (B2, C)
+        g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (H, C)
 
         # hash-seeded candidates share the first k bases (A-substituted),
         # so the first floor(k/16) whole words need no comparison
         w_start = (k // 16) if use_hash else 0
-        lcp = jnp.full((B2, C), 16 * w_start, dtype=jnp.int32)
-        matched = jnp.ones((B2, C), dtype=bool)
+        lcp = jnp.full((H, C), 16 * w_start, dtype=jnp.int32)
+        matched = jnp.ones((H, C), dtype=bool)
         for w in range(w_start, W16):
             depth = 16 * w
-            qa = take1(pw_a, i + depth)[:, None]
+            qa = take1(ls["pw_a"], i + depth)[:, None]
             ta = pa[g + depth]
             x = qa ^ ta
             add = jnp.where(x == 0, 16, _clz32(x) >> 1)
@@ -236,7 +250,7 @@ def map_oriented_lanes(
             matched = matched & (x == 0)
         # cap: transcript boundary (text) and N/read-end (query)
         lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
-        lcp = jnp.minimum(lcp, take1(bad_dist, i)[:, None])
+        lcp = jnp.minimum(lcp, take1(ls["bad_dist"], i)[:, None])
         lcp = jnp.where(cvalid, lcp, -1)
 
         lstar = jnp.max(lcp, axis=1)
@@ -250,8 +264,8 @@ def map_oriented_lanes(
         # record the MMP into slot nm
         slot = (
             jnp.arange(M, dtype=jnp.int32)[None, :] == nm[:, None]
-        ) & hit[:, None]  # (B2, M), all False when no hit
-        sel = slot[:, :, None]  # (B2, M, 1)
+        ) & hit[:, None]  # (H, M), all False when no hit
+        sel = slot[:, :, None]  # (H, M, 1)
         m_txp = jnp.where(sel, txp[:, None, :], m_txp)
         m_pos = jnp.where(sel, pos[:, None, :], m_pos)
         m_vld = jnp.where(sel, best[:, None, :], m_vld)
@@ -266,7 +280,7 @@ def map_oriented_lanes(
         i = i + jnp.where(active, adv, 0)
         return (i, nm, overflow, mlen, m_txp, m_pos, m_vld)
 
-    init = (
+    state = (
         jnp.zeros(B2, jnp.int32),                       # i
         jnp.zeros(B2, jnp.int32),                       # num mmps
         jnp.zeros(B2, bool),                            # overflow
@@ -277,11 +291,47 @@ def map_oriented_lanes(
     )
     # NOTE: a while_loop with an any(active) early exit was tried here
     # and made XLA compilation pathological (minutes instead of ~1s);
-    # lax.scan with a small static step count (jump-skip needs only
-    # ~errors+1 steps) compiles fast and wastes little.
-    (i, nm, overflow, mlen, m_txp, m_pos, m_vld), _ = jax.lax.scan(
-        lambda st, _: (scan_step(st), None), init, None, length=max_steps
-    )
+    # unrolled steps with static widths compile fast.
+    lens_full = laneset_full["lens"]
+    if scan_shrink <= 1:
+        state, _ = jax.lax.scan(
+            lambda st, _: (scan_step(laneset_full, st), None),
+            state, None, length=max_steps,
+        )
+    else:
+        state = scan_step(laneset_full, state)
+        width = B2
+        for _ in range(1, max_steps):
+            width = max(64, width // scan_shrink)
+            i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
+            active = (i + k <= lens_full) & (nm < M)
+            # slot priority: lanes that already found an MMP (likely to
+            # find the next) > miss-scanning lanes > done lanes
+            prio = jnp.where(active, jnp.where(nm > 0, 0, 1), 2)
+            order = jnp.argsort(prio, stable=True).astype(jnp.int32)
+            sel = order[:width]
+            # active lanes that did not fit simply STOP scanning — they
+            # keep the MMPs already recorded (equivalent to a per-lane
+            # adaptive step budget; mostly affects miss-scanning lanes
+            # that would find nothing anyway)
+            spill = order[width:]
+            i = i.at[spill].set(L)
+            sub_ls = {kk: v[sel] for kk, v in laneset_full.items()}
+            sub_state = (
+                i[sel], nm[sel], overflow[sel], mlen[sel],
+                m_txp[sel], m_pos[sel], m_vld[sel],
+            )
+            si, snm, sov, sml, st_, sp_, sv_ = scan_step(sub_ls, sub_state)
+            state = (
+                i.at[sel].set(si),
+                nm.at[sel].set(snm),
+                overflow.at[sel].set(sov),
+                mlen.at[sel].set(sml),
+                m_txp.at[sel].set(st_),
+                m_pos.at[sel].set(sp_),
+                m_vld.at[sel].set(sv_),
+            )
+    i, nm, overflow, mlen, m_txp, m_pos, m_vld = state
 
     # --- position-consistent intersection: base = MMP slot 0 ---
     hvalid = m_vld[:, 0, :]

@@ -175,6 +175,7 @@ class DeviceMapperBackend:
             ht_probes=self.ht_probes,
             ht_bits=self.ht_bits,
             skip_jump=(opts.mmp_skip == "jump"),
+            scan_shrink=opts.scan_shrink,
         )
         B = codes.shape[0]
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import os
 import re
 
-import numpy as np
-
 _MIN_TPM = 4.9406564584124654e-324  # denorm_min, reference :939
 
 

@@ -28,8 +28,6 @@ map+update path and as the driver-checked multichip entry.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 from .config import QuantOpts
-from .eqclass.classes import EqClassAccumulator, EqClasses
+from .eqclass.classes import EqClassAccumulator
 from .index.builder import QuasiIndex, load_index
 from .infer.em import run_em
 from .io.fastq import iter_fastq_batches, iter_paired_fastq_batches

@@ -183,7 +183,7 @@ def bias_observe_device(slots, bias_text, lens1, lens2, *, gc_on: bool,
     valid = slots["valid"]
     B, W = txp.shape
 
-    from ..map.pair import LEFT, PAIRED, RIGHT
+    from ..map.pair import PAIRED, RIGHT
 
     read_len = jnp.where(
         status == RIGHT, lens2[:, None], lens1[:, None]

@@ -3,7 +3,6 @@
 trips and rolling next-kmer consistency, fwd and revcomp."""
 
 import numpy as np
-import pytest
 
 from sailfish_tpu import dna
 

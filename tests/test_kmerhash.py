@@ -4,7 +4,6 @@ import numpy as np
 
 from sailfish_tpu import dna
 from sailfish_tpu.index.kmerhash import (
-    build_kmer_table,
     mix_hash_u32,
     sep_distances,
     suffix_keys,

@@ -53,8 +53,6 @@ def test_sais_large_random():
 
 def test_index_uses_native_sa(toy_world):
     # build_suffix_array should agree with numpy fallback on real data
-    from sailfish_tpu.index.builder import build_suffix_array
-
     idx = toy_world["idx"]
     sub = np.where(idx.codes >= 4, 0, idx.codes).astype(np.uint8)
     nat = native_build_sa(sub)
