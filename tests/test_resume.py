@@ -78,3 +78,56 @@ def test_mergeeq_cli(dumped_run, tmp_path):
     assert rc == 0
     names, eq = read_eq_classes(merged_path)
     assert eq.total_count() == 2 * stats["num_mapped"]
+
+
+def test_sharded_runs_merge_to_single_run(sample_data, sample_index, tmp_path):
+    """Two half-input quant runs + mergeeq + resume == one full run (the
+    multi-host flow: per-host shards dump classes, rank 0 merges and
+    re-infers)."""
+    _, index_dir = sample_index
+
+    # split the sample fastqs in half
+    def split(path, stem):
+        lines = open(path).read().splitlines(keepends=False)
+        half = (len(lines) // 8) * 4  # whole records
+        a = tmp_path / f"{stem}_a.fq"
+        b = tmp_path / f"{stem}_b.fq"
+        a.write_text("\n".join(lines[:half]) + "\n")
+        b.write_text("\n".join(lines[half:]) + "\n")
+        return str(a), str(b)
+
+    r1a, r1b = split(sample_data["reads1"], "r1")
+    r2a, r2b = split(sample_data["reads2"], "r2")
+
+    outs = []
+    for tag, m1, m2 in (("a", r1a, r2a), ("b", r1b, r2b)):
+        opts = QuantOpts(
+            index_dir=index_dir, output_dir=str(tmp_path / f"shard_{tag}"),
+            lib_type="IU", mates1=[m1], mates2=[m2], batch_size=4096,
+            dump_eq=True, dtype="float64",
+        )
+        run_quant(opts, backend="device")
+        outs.append(str(tmp_path / f"shard_{tag}"))
+
+    merged = tmp_path / "merged_eq.txt"
+    from sailfish_tpu.cli import main
+
+    assert main(["mergeeq", outs[0], outs[1], "-o", str(merged)]) == 0
+
+    res_merged = run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=str(tmp_path / "from_merge"),
+        lib_type="IU", resume_from_eq=str(merged), dtype="float64",
+    ))
+
+    # single full run for comparison (prior FLD path to match resume)
+    res_full = run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=str(tmp_path / "full"),
+        lib_type="IU", mates1=[sample_data["reads1"]],
+        mates2=[sample_data["reads2"]], batch_size=4096, dtype="float64",
+    ), backend="device")
+
+    assert res_merged["num_mapped"] == res_full["num_mapped"] == 10000
+    assert res_merged["num_eq_classes"] == res_full["num_eq_classes"]
+    np.testing.assert_allclose(
+        res_merged["alphas"], res_full["alphas"], rtol=1e-9
+    )
