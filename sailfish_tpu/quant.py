@@ -209,7 +209,11 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     t_map0 = time.time()
     pending = None  # (token, observe_args)
 
+    progress_every = 500_000  # reference progress cadence (:440-447)
+    next_progress = progress_every
+
     def fold(pending):
+        nonlocal next_progress
         token, obs = pending
         br = mapper.finish_batch(token)
         _accumulate(br, state, acc, opts.max_frag_len)
@@ -218,6 +222,13 @@ def run_quant(opts: QuantOpts, backend: str = "device",
                 bias_state.observe_batch(index, obs[0], obs[1], br)
             else:
                 bias_state.observe_batch_se(index, obs[0], br)
+        if state.num_observed >= next_progress:
+            next_progress += progress_every
+            log.info(
+                "processed %d fragments | hits: %d, hits per frag: %.2f",
+                state.num_observed, state.num_frag_hits,
+                state.num_frag_hits / max(1, state.num_observed),
+            )
 
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
