@@ -72,6 +72,11 @@ class QuantOpts:
     max_scan_steps: int = 4        # max sequential seed-probe steps
                                    # (with mmp_skip="jump", a read needs
                                    # ~#errors+1 steps)
+    kernel: str = "xla"            # mapping scan implementation: "xla"
+                                   # (map/kernels.py) or "pallas"
+                                   # (map/pallas_kernel.py — per-lane
+                                   # dynamic loops + DMA-pipelined
+                                   # candidate windows; reads <= 128bp)
     scan_shrink: int = 1           # >1: scan steps after the first run on
                                    # a compacted active-lane subset whose
                                    # width shrinks by this factor per

@@ -100,6 +100,8 @@ class DeviceMapperBackend:
         self.opts = opts
         self.k = index.k
         self.prefix_bases = index.prefix_bases
+        self._index = index
+        self._pallas_text = None
         pad = np.zeros(_PACK_PAD, dtype=np.uint32)
         pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
         self.text = {
@@ -161,22 +163,43 @@ class DeviceMapperBackend:
 
     def _map_lanes(self, codes: np.ndarray, lens: np.ndarray):
         opts = self.opts
-        lanes = make_oriented_lanes(
-            jnp.asarray(codes), jnp.asarray(lens), self.prefix_bases
-        )
-        hits = map_oriented_lanes(
-            self.text, lanes,
-            k=self.k,
-            prefix_bases=self.prefix_bases,
-            cand_cap=opts.hit_capacity,
-            max_mmps=opts.max_mmps,
-            max_steps=opts.max_scan_steps,
-            use_hash=self.use_hash,
-            ht_probes=self.ht_probes,
-            ht_bits=self.ht_bits,
-            skip_jump=(opts.mmp_skip == "jump"),
-            scan_shrink=opts.scan_shrink,
-        )
+        if opts.kernel == "pallas":
+            from .pallas_kernel import map_oriented_lanes_pallas
+
+            if self._pallas_text is None:
+                from .pallas_kernel import prepare_pallas_text
+
+                self._pallas_text = prepare_pallas_text(
+                    self._index, opts.hit_capacity
+                )
+            hits = map_oriented_lanes_pallas(
+                self._pallas_text,
+                jnp.asarray(codes), jnp.asarray(lens),
+                k=self.k,
+                cand_cap=opts.hit_capacity,
+                max_mmps=opts.max_mmps,
+                max_steps=opts.max_scan_steps,
+                ht_bits=self.ht_bits,
+                ht_probes=self.ht_probes,
+                interpret=(jax.default_backend() == "cpu"),
+            )
+        else:
+            lanes = make_oriented_lanes(
+                jnp.asarray(codes), jnp.asarray(lens), self.prefix_bases
+            )
+            hits = map_oriented_lanes(
+                self.text, lanes,
+                k=self.k,
+                prefix_bases=self.prefix_bases,
+                cand_cap=opts.hit_capacity,
+                max_mmps=opts.max_mmps,
+                max_steps=opts.max_scan_steps,
+                use_hash=self.use_hash,
+                ht_probes=self.ht_probes,
+                ht_bits=self.ht_bits,
+                skip_jump=(opts.mmp_skip == "jump"),
+                scan_shrink=opts.scan_shrink,
+            )
         B = codes.shape[0]
 
         def half(d, sl):
