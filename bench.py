@@ -32,6 +32,7 @@ NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
+KERNEL = os.environ.get("BENCH_KERNEL", "xla")
 
 
 def log(*a):
@@ -113,7 +114,8 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
-    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, scan_shrink=SHRINK)
+    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, scan_shrink=SHRINK,
+                     kernel=KERNEL)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 
