@@ -32,7 +32,7 @@ NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
-KERNEL = os.environ.get("BENCH_KERNEL", "xla")
+KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
 
 
 def log(*a):
@@ -119,15 +119,28 @@ def main():
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 
-    def run_batch(c1, c2, lens):
-        return backend.map_pe_batch(
-            FastqBatch(codes=c1, lens=lens), FastqBatch(codes=c2, lens=lens),
-            expected,
-        )
+    def make_runner(bk):
+        def run(c1, c2, lens):
+            return bk.map_pe_batch(
+                FastqBatch(codes=c1, lens=lens),
+                FastqBatch(codes=c2, lens=lens), expected,
+            )
+        return run
 
-    # warmup / compile
+    run_batch = make_runner(backend)
+
+    # warmup / compile (falls back to the XLA kernel if the pallas path
+    # fails to compile in this environment)
     t0 = time.time()
-    br = run_batch(*batches[0])
+    try:
+        br = run_batch(*batches[0])
+    except Exception as e:
+        log(f"kernel '{KERNEL}' failed ({type(e).__name__}); "
+            "falling back to kernel='xla'")
+        opts.kernel = "xla"
+        backend = DeviceMapperBackend(idx, opts)
+        run_batch = make_runner(backend)
+        br = run_batch(*batches[0])
     log(f"warmup (compile) {time.time()-t0:.1f}s; "
         f"mapped {br.mapped.sum()}/{BATCH}")
 

@@ -87,6 +87,9 @@ def _add_quant_parser(sub):
                    help="host-side IO/decode workers")
     # TPU-specific
     p.add_argument("--backend", choices=["device", "refimpl"], default="device")
+    p.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
+                   help="device mapping kernel: xla (portable) or pallas "
+                   "(TPU hardware path; reads <= 128bp)")
     p.add_argument("--batchSize", type=int, default=65536)
     p.add_argument("--dtype", choices=["float32", "float64"], default="")
     p.add_argument("--hitCapacity", type=int, default=64,
@@ -246,6 +249,7 @@ def _main_quant(args, argv) -> int:
         hit_capacity=args.hitCapacity,
         scan_shrink=args.scanShrink,
         mmp_skip=args.mmpSkip,
+        kernel=args.kernel,
     )
 
     # echo the ordered invocation like cmd_info.json (reference :1263-1277)
