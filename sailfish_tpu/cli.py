@@ -59,6 +59,10 @@ def _add_quant_parser(sub):
     p.add_argument("--txpAggregationKey", default="gene_id")
     p.add_argument("--auxDir", default="aux")
     p.add_argument("--dumpEq", action="store_true")
+    p.add_argument("--checkpointInterval", type=int, default=0,
+                   help="write an eq-class checkpoint (plus FLD/counter "
+                   "state) every N processed fragments (0 = off); resume "
+                   "with --resumeFromEq")
     p.add_argument("--resumeFromEq", default="",
                    help="resume from an eq_classes.txt checkpoint (file "
                    "or quant output dir): skip mapping, re-run inference")
@@ -154,22 +158,11 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main_mergeeq(args) -> int:
     _setup_logging()
-    from .eqclass.io import find_eq_dump, merge_eq_dumps
+    from .eqclass.io import find_eq_dump, merge_eq_dumps, write_eq_dump
 
     paths = [find_eq_dump(d) for d in args.dumps]
     names, eq = merge_eq_dumps(paths)
-    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    with open(args.output, "w") as fh:
-        fh.write(f"{len(names)}\n{eq.num_classes}\n")
-        for n in names:
-            fh.write(f"{n}\n")
-        for i in range(eq.num_classes):
-            label = eq.members[eq.offsets[i] : eq.offsets[i + 1]]
-            fh.write(
-                f"{len(label)}\t"
-                + "\t".join(str(int(t)) for t in label)
-                + f"\t{int(eq.counts[i])}\n"
-            )
+    write_eq_dump(args.output, names, eq)
     logging.getLogger("sailfish_tpu").info(
         "merged %d dumps -> %d classes (%d fragments)",
         len(paths), eq.num_classes, eq.total_count(),
@@ -239,6 +232,7 @@ def _main_quant(args, argv) -> int:
         num_gibbs_samples=args.numGibbsSamples,
         num_bootstraps=args.numBootstraps,
         dump_eq=args.dumpEq,
+        checkpoint_interval=args.checkpointInterval,
         resume_from_eq=args.resumeFromEq,
         gene_map=args.geneMap,
         txp_aggregation_key=args.txpAggregationKey,

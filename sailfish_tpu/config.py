@@ -57,6 +57,9 @@ class QuantOpts:
 
     # --- outputs / resume ---
     dump_eq: bool = False          # --dumpEq (:1099)
+    checkpoint_interval: int = 0   # fragments between streaming eq-class
+    #                                checkpoints (0 = off); resume with
+    #                                --resumeFromEq
     resume_from_eq: str = ""       # path to an eq_classes.txt dump (or a
                                    # quant output dir containing one):
                                    # skip mapping and re-run inference +

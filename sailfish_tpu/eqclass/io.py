@@ -31,6 +31,31 @@ def read_eq_classes(path: str) -> tuple[list[str], EqClasses]:
     return names, acc.finish()
 
 
+def write_eq_dump(
+    path: str, names: list[str], eq: EqClasses, atomic: bool = False
+) -> None:
+    """Write an aux/eq_classes.txt dump (src/GZipWriter.cpp:51-92 layout).
+
+    With ``atomic`` the dump lands via a same-directory temp file +
+    rename, so a crash mid-write never corrupts an existing checkpoint.
+    """
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp" if atomic else path
+    with open(tmp, "w") as fh:
+        fh.write(f"{len(names)}\n{eq.num_classes}\n")
+        for n in names:
+            fh.write(f"{n}\n")
+        for i in range(eq.num_classes):
+            label = eq.members[eq.offsets[i] : eq.offsets[i + 1]]
+            fh.write(
+                f"{len(label)}\t"
+                + "\t".join(str(int(t)) for t in label)
+                + f"\t{int(eq.counts[i])}\n"
+            )
+    if atomic:
+        os.replace(tmp, path)
+
+
 def merge_eq_dumps(paths: list[str]) -> tuple[list[str], EqClasses]:
     """Sum eq-class dumps from sharded runs (labels are canonical, so
     the merge is a pure dictionary sum)."""

@@ -55,12 +55,16 @@ def _merge_orientations(fw, rc):
         [jnp.ones((B, C), bool), jnp.zeros((B, C), bool)], axis=1
     )
     key = jnp.where(valid, txp, NEG)
-    order = jnp.argsort(key, axis=1, stable=True)
+    # one multi-operand sort (payloads ride the sort network) instead of
+    # argsort + four random gathers — gathers are the TPU bottleneck
+    _, txp, pos, fwd, valid = jax.lax.sort(
+        (key, txp, pos, fwd, valid), dimension=1, num_keys=1, is_stable=True
+    )
     return {
-        "txp": jnp.take_along_axis(txp, order, axis=1),
-        "pos": jnp.take_along_axis(pos, order, axis=1),
-        "fwd": jnp.take_along_axis(fwd, order, axis=1),
-        "valid": jnp.take_along_axis(valid, order, axis=1),
+        "txp": txp,
+        "pos": pos,
+        "fwd": fwd,
+        "valid": valid,
         "overflow": fw["overflow"] | rc["overflow"],
     }
 
@@ -170,9 +174,12 @@ def merge_and_collapse(
             & left["valid"][:, :, None]
         )  # (B, 2C, 2C)
         paired_l = match.any(axis=2)
-        mate_j = jnp.argmax(match, axis=2)  # first (only) match
-        mate_pos = jnp.take_along_axis(right["pos"], mate_j, axis=1)
-        mate_fwd = jnp.take_along_axis(right["fwd"], mate_j, axis=1)
+        # after _merge_orientations each transcript owns at most one valid
+        # right slot, so a masked reduction replaces argmax + two gathers
+        mate_pos = jnp.sum(
+            jnp.where(match, right["pos"][:, None, :], 0), axis=2
+        )
+        mate_fwd = jnp.any(match & right["fwd"][:, None, :], axis=2)
         any_paired = paired_l.any(axis=1)
 
         W = 4 * C
@@ -205,12 +212,10 @@ def merge_and_collapse(
              jnp.full((B, 2 * C), RIGHT, jnp.int32)], axis=1
         )
         okey = jnp.where(o_valid, o_txp, NEG)
-        oorder = jnp.argsort(okey, axis=1, stable=True)
-        o_txp = jnp.take_along_axis(o_txp, oorder, axis=1)
-        o_pos = jnp.take_along_axis(o_pos, oorder, axis=1)
-        o_fwd = jnp.take_along_axis(o_fwd, oorder, axis=1)
-        o_valid = jnp.take_along_axis(o_valid, oorder, axis=1)
-        o_status = jnp.take_along_axis(o_status, oorder, axis=1)
+        _, o_txp, o_pos, o_fwd, o_valid, o_status = jax.lax.sort(
+            (okey, o_txp, o_pos, o_fwd, o_valid, o_status),
+            dimension=1, num_keys=1, is_stable=True,
+        )
 
         ap = any_paired[:, None]
         txp = jnp.where(ap, p_txp, o_txp)
@@ -266,9 +271,9 @@ def merge_and_collapse(
     num_rc = (selected & ~fwd_hit).sum(axis=1)
 
     # compact selected txps left, preserving slot (txp) order
-    sel_order = jnp.argsort(~selected, axis=1, stable=True)
-    label = jnp.take_along_axis(
-        jnp.where(selected, txp, PAD), sel_order, axis=1
+    _, label = jax.lax.sort(
+        ((~selected).astype(jnp.int32), jnp.where(selected, txp, PAD)),
+        dimension=1, num_keys=1, is_stable=True,
     )
     label_len = selected.sum(axis=1)
 
@@ -330,13 +335,10 @@ def collapse_batch(h1, h2, mapped):
     orig_idx (B,) — host takes is_first & mapped_sorted rows.
     """
     B = h1.shape[0]
-    ord1 = jnp.argsort(h2, stable=True)
-    h1s = jnp.take(h1, ord1)
-    ord2 = jnp.argsort(h1s, stable=True)
-    order = jnp.take(ord1, ord2)
-    sh1 = jnp.take(h1, order)
-    sh2 = jnp.take(h2, order)
-    smapped = jnp.take(mapped, order)
+    sh1, sh2, order, smapped = jax.lax.sort(
+        (h1, h2, jnp.arange(B, dtype=jnp.int32), mapped),
+        dimension=0, num_keys=2, is_stable=True,
+    )
 
     newgrp = jnp.ones(B, bool)
     newgrp = newgrp.at[1:].set((sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1]))

@@ -250,8 +250,14 @@ class DeviceMapperBackend:
             idx = np.zeros(upad, dtype=np.int32)
             idx[:U] = rep_idx
             rows = np.asarray(_gather_rows(out["label"], jnp.asarray(idx)))[:U]
-            for r, li in zip(rows, rep_idx):
-                labels.append(tuple(int(t) for t in r[: label_len[li]]))
+            # bulk int conversion (tolist) beats per-element int() by ~10x;
+            # truncate to the widest label first
+            rep_lens = label_len[rep_idx]
+            wmax = int(rep_lens.max()) if U else 0
+            rowlist = rows[:, :wmax].tolist()
+            labels = [
+                tuple(row[:ln]) for row, ln in zip(rowlist, rep_lens)
+            ]
 
         return BatchResult(
             n=n,

@@ -115,19 +115,12 @@ class QuantWriter:
 
     # ---- eq-class dump (GZipWriter.cpp:51-92) ----
     def write_equiv_counts(self, names: list[str], eq: EqClasses) -> None:
-        path = os.path.join(self.aux_path, "eq_classes.txt")
-        with open(path, "w") as fh:
-            fh.write(f"{len(names)}\n")
-            fh.write(f"{eq.num_classes}\n")
-            for n in names:
-                fh.write(f"{n}\n")
-            for i in range(eq.num_classes):
-                label = eq.members[eq.offsets[i] : eq.offsets[i + 1]]
-                fh.write(
-                    f"{len(label)}\t"
-                    + "\t".join(str(int(t)) for t in label)
-                    + f"\t{int(eq.counts[i])}\n"
-                )
+        from ..eqclass.io import write_eq_dump
+
+        write_eq_dump(
+            os.path.join(self.aux_path, "eq_classes.txt"), names, eq,
+            atomic=True,
+        )
 
     # ---- aux/meta + distribution dumps (GZipWriter.cpp:101-192) ----
     def write_meta(
@@ -146,6 +139,7 @@ class QuantWriter:
         observed_gc: np.ndarray | None = None,
         expected_gc: np.ndarray | None = None,
         fld_realized: np.ndarray | None = None,
+        timings: dict | None = None,
     ) -> None:
         num_samples = num_bootstraps if num_bootstraps > 0 else num_gibbs_samples
         if num_samples > 0:
@@ -211,6 +205,9 @@ class QuantWriter:
             "call": "quant",
             "start_time": start_time,
         }
+        if timings is not None:
+            # per-phase breakdown (extension beyond the reference's meta)
+            meta["quant_timings"] = timings
         with open(os.path.join(self.aux_path, "meta_info.json"), "w") as fh:
             json.dump(meta, fh, indent=4)
 

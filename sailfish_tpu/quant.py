@@ -14,7 +14,9 @@ Stages:
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import os
 import time
 
 import numpy as np
@@ -120,6 +122,46 @@ def _accumulate(br, state: ExperimentState, acc: EqClassAccumulator,
             state.remaining_fl_ops -= len(fls)
 
 
+def _write_quant_state(aux_path: str, state: ExperimentState) -> None:
+    """Persist the non-eq-class half of a checkpoint (counters + FLD
+    histogram) next to the eq dump, atomically.  With it a resume
+    recovers the real fragment-length distribution instead of the prior
+    fallback (the reference's disabled loadEquivClasses path could not:
+    src/SailfishQuantify.cpp:1444-1495)."""
+    doc = {
+        "num_observed": int(state.num_observed),
+        "num_mapped": int(state.num_mapped),
+        "num_frag_hits": int(state.num_frag_hits),
+        "upper_bound_hits": int(state.upper_bound_hits),
+        "num_fwd": int(state.num_fwd),
+        "num_rc": int(state.num_rc),
+        "remaining_fl_ops": int(state.remaining_fl_ops),
+        "fl_hist": [int(x) for x in state.fl_hist],
+    }
+    tmp = os.path.join(aux_path, "quant_state.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(aux_path, "quant_state.json"))
+
+
+def _restore_quant_state(path: str, state: ExperimentState,
+                         max_frag_len: int) -> None:
+    with open(path) as fh:
+        doc = json.load(fh)
+    state.num_observed = int(doc["num_observed"])
+    state.num_mapped = int(doc["num_mapped"])
+    state.num_frag_hits = int(doc["num_frag_hits"])
+    state.upper_bound_hits = int(doc["upper_bound_hits"])
+    state.num_fwd = int(doc.get("num_fwd", 0))
+    state.num_rc = int(doc.get("num_rc", 0))
+    state.remaining_fl_ops = int(doc["remaining_fl_ops"])
+    hist = np.asarray(doc["fl_hist"], dtype=np.int64)
+    fl = np.zeros(max_frag_len, dtype=np.int64)
+    n = min(len(hist), max_frag_len)
+    fl[:n] = hist[:n]
+    state.fl_hist = fl
+
+
 def make_backend(index: QuasiIndex, opts: QuantOpts, backend: str):
     if backend == "refimpl":
         return RefMapperBackend(index, opts)
@@ -155,7 +197,9 @@ def run_quant(opts: QuantOpts, backend: str = "device",
         opts.gc_bias_correct = False
 
     log.info("loading index from %s", opts.index_dir)
+    t_idx0 = time.time()
     index = load_index(opts.index_dir)
+    t_index = time.time() - t_idx0
     names = index.names
     ref_lens = index.txp_lens.astype(np.int64)
     num_txps = len(names)
@@ -183,15 +227,26 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             raise ValueError(
                 "eq-class dump transcript names do not match the index"
             )
-        total = eq.total_count()
-        state.num_observed = total
-        state.num_mapped = total
-        state.num_frag_hits = total
-        state.upper_bound_hits = total
+        state_path = os.path.join(os.path.dirname(dump), "quant_state.json")
+        if os.path.isfile(state_path):
+            # full checkpoint: counters + FLD histogram survive the resume
+            _restore_quant_state(state_path, state, opts.max_frag_len)
+            log.info(
+                "restored quant state (%d fragments, %d FLD observations)",
+                state.num_observed,
+                opts.num_frag_samples - state.remaining_fl_ops,
+            )
+        else:
+            # bare dump (e.g. mergeeq output): counts only, prior FLD
+            total = eq.total_count()
+            state.num_observed = total
+            state.num_mapped = total
+            state.num_frag_hits = total
+            state.upper_bound_hits = total
         return _infer_and_write(
             opts, index, names, ref_lens, num_txps, writer, state, eq,
             bias_state=None, start_time=start_time, t_start=t_start,
-            t_map=0.0,
+            t_map=0.0, t_index=t_index,
         )
 
     mapper = make_backend(index, opts, backend)
@@ -211,9 +266,13 @@ def run_quant(opts: QuantOpts, backend: str = "device",
 
     progress_every = 500_000  # reference progress cadence (:440-447)
     next_progress = progress_every
+    next_ckpt = (
+        opts.checkpoint_interval if opts.checkpoint_interval > 0 else None
+    )
+    aux_path = os.path.join(opts.output_dir, opts.aux_dir)
 
     def fold(pending):
-        nonlocal next_progress
+        nonlocal next_progress, next_ckpt
         token, obs = pending
         br = mapper.finish_batch(token)
         _accumulate(br, state, acc, opts.max_frag_len)
@@ -228,6 +287,20 @@ def run_quant(opts: QuantOpts, backend: str = "device",
                 "processed %d fragments | hits: %d, hits per frag: %.2f",
                 state.num_observed, state.num_frag_hits,
                 state.num_frag_hits / max(1, state.num_observed),
+            )
+        if next_ckpt is not None and state.num_observed >= next_ckpt:
+            next_ckpt = state.num_observed + opts.checkpoint_interval
+            from .eqclass.io import write_eq_dump
+
+            os.makedirs(aux_path, exist_ok=True)
+            write_eq_dump(
+                os.path.join(aux_path, "eq_classes.txt"), names,
+                acc.finish(), atomic=True,
+            )
+            _write_quant_state(aux_path, state)
+            log.info(
+                "checkpoint: %d fragments, %d eq classes",
+                state.num_observed, len(acc),
             )
 
     if paired:
@@ -263,13 +336,13 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     return _infer_and_write(
         opts, index, names, ref_lens, num_txps, writer, state, eq,
         bias_state=bias_state, start_time=start_time, t_start=t_start,
-        t_map=t_map, paired=paired,
+        t_map=t_map, t_index=t_index, paired=paired,
     )
 
 
 def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
                      eq, *, bias_state, start_time, t_start, t_map,
-                     paired=True):
+                     t_index=0.0, paired=True):
     """Shared inference + output tail of the pipeline (also the resume
     path's entry)."""
     # ---- effective lengths (src/SailfishQuantify.cpp:954-992) ----
@@ -292,6 +365,9 @@ def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
 
     if opts.dump_eq:
         writer.write_equiv_counts(names, eq)
+        # sibling state file -> a --resumeFromEq of this dump recovers
+        # the real FLD and counters (not the prior fallback)
+        _write_quant_state(writer.aux_path, state)
 
     # ---- EM (+ optional bias-corrected effective length refresh) ----
     t_em0 = time.time()
@@ -347,6 +423,14 @@ def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
         ),
         observed_gc=(bias_state.observed_gc if bias_state is not None else None),
         expected_gc=(bias_state.expected_gc if bias_state is not None else None),
+        timings={
+            "index_load_seconds": round(t_index, 3),
+            "mapping_seconds": round(t_map, 3),
+            "inference_seconds": round(t_em, 3),
+            "reads_per_sec": round(
+                state.num_observed / max(t_map, 1e-9), 1
+            ) if t_map else 0.0,
+        },
     )
 
     if opts.num_gibbs_samples > 0 and eq.num_classes > 0:

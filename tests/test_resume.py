@@ -131,3 +131,62 @@ def test_sharded_runs_merge_to_single_run(sample_data, sample_index, tmp_path):
     np.testing.assert_allclose(
         res_merged["alphas"], res_full["alphas"], rtol=1e-9
     )
+
+
+def test_resume_restores_quant_state(dumped_run, tmp_path):
+    """dump_eq now writes a sibling quant_state.json; a resume restores
+    the real counters and FLD histogram instead of approximating them
+    from the dump's total count."""
+    index_dir, out, stats = dumped_run
+    assert os.path.exists(os.path.join(out, "aux", "quant_state.json"))
+    res = run_quant(QuantOpts(
+        index_dir=index_dir,
+        output_dir=str(tmp_path / "resumed_state"),
+        lib_type="IU",
+        resume_from_eq=out,
+        dtype="float64",
+    ))
+    assert res["num_observed"] == stats["num_observed"]
+    assert res["num_mapped"] == stats["num_mapped"]
+    np.testing.assert_allclose(res["alphas"], stats["alphas"], rtol=1e-12)
+    # the resumed run re-derives identical effective lengths (same FLD)
+    np.testing.assert_allclose(res["eff_lens"], stats["eff_lens"], rtol=1e-12)
+
+
+def test_streaming_checkpoint_and_resume(sample_data, sample_index, tmp_path):
+    """--checkpointInterval writes restartable mid-run checkpoints; a
+    resume from one quantifies the prefix seen so far."""
+    _, index_dir = sample_index
+    out = str(tmp_path / "ckpt")
+    run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=out, lib_type="IU",
+        mates1=[sample_data["reads1"]], mates2=[sample_data["reads2"]],
+        batch_size=1024, checkpoint_interval=2048, dtype="float64",
+    ), backend="device")
+    # checkpoints fire at >=2048 then every 2048: last at 8192 of 10000
+    assert os.path.exists(os.path.join(out, "aux", "eq_classes.txt"))
+    assert os.path.exists(os.path.join(out, "aux", "quant_state.json"))
+    import json as _json
+
+    st = _json.load(open(os.path.join(out, "aux", "quant_state.json")))
+    assert st["num_observed"] == 8192
+
+    res = run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=str(tmp_path / "ckpt_resumed"),
+        lib_type="IU", resume_from_eq=out, dtype="float64",
+    ))
+    assert res["num_observed"] == 8192
+    assert res["num_mapped"] <= 8192
+    assert os.path.exists(tmp_path / "ckpt_resumed" / "quant.sf")
+
+
+def test_meta_has_timings(dumped_run):
+    import json as _json
+
+    _, out, _ = dumped_run
+    meta = _json.load(open(os.path.join(out, "aux", "meta_info.json")))
+    t = meta["quant_timings"]
+    assert t["mapping_seconds"] > 0
+    assert t["index_load_seconds"] >= 0
+    assert t["inference_seconds"] >= 0
+    assert t["reads_per_sec"] > 0
