@@ -89,6 +89,13 @@ def _add_quant_parser(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-p", "--numThreads", type=int, default=4,
                    help="host-side IO/decode workers")
+    p.add_argument("--numShards", type=int, default=1,
+                   help="multi-host data parallelism: total number of "
+                   "read shards; each host runs the same command with "
+                   "its own --shardId and --dumpEq, then rank 0 runs "
+                   "mergeeq + quant --resumeFromEq")
+    p.add_argument("--shardId", type=int, default=0,
+                   help="this host's shard index in [0, numShards)")
     # TPU-specific
     p.add_argument("--backend", choices=["device", "refimpl"], default="device")
     p.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
@@ -238,6 +245,8 @@ def _main_quant(args, argv) -> int:
         txp_aggregation_key=args.txpAggregationKey,
         batch_size=args.batchSize,
         num_threads=args.numThreads,
+        num_shards=args.numShards,
+        shard_id=args.shardId,
         seed=args.seed,
         dtype=dtype,
         hit_capacity=args.hitCapacity,

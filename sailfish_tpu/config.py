@@ -70,6 +70,9 @@ class QuantOpts:
     # --- execution (TPU-specific; replaces -p/--numThreads) ---
     batch_size: int = 65536        # reads per device batch
     num_threads: int = 4           # host-side IO / decode workers
+    num_shards: int = 1            # multi-host DP: total read shards
+    shard_id: int = 0              # this host's shard (round-robin
+    #                                over batches; combine via mergeeq)
     max_mmps: int = 4              # max MMP seeds recorded per read per
                                    # orientation (static capacity)
     max_scan_steps: int = 4        # max sequential seed-probe steps

@@ -415,14 +415,45 @@ def map_oriented_lanes_pallas(
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
-    Returns the same dict as kernels.map_oriented_lanes.
+    Returns the same dict as kernels.map_oriented_lanes.  The whole
+    path (lane build, scan kernel, post-pass) runs under ONE jit —
+    eager per-op dispatch costs ~25ms/op of round-trip latency on a
+    tunneled device, which dwarfed the kernel itself.
     """
-    from .kernels import NEG
-
     B, L = codes.shape
     if L > WINR:
         raise ValueError(f"pallas path supports reads up to {WINR} bases")
+    return _map_lanes_pallas_jit(
+        codes, lens,
+        text_pallas["text_rows"], text_pallas["sa_rows"],
+        text_pallas["ht_rows"], text_pallas["txp_of_pos"],
+        text_pallas["txp_offsets"],
+        k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
+        ht_bits=ht_bits, ht_probes=ht_probes,
+        n_text=text_pallas["n_text"], interpret=interpret,
+    )
 
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
+                     "ht_probes", "n_text", "interpret"),
+)
+def _map_lanes_pallas_jit(
+    codes, lens, text_rows, sa_rows, ht_rows, txp_of_pos, txp_offsets,
+    *,
+    k: int,
+    cand_cap: int,
+    max_mmps: int,
+    max_steps: int,
+    ht_bits: int,
+    ht_probes: int,
+    n_text: int,
+    interpret: bool,
+):
+    from .kernels import NEG
+
+    B, L = codes.shape
     # oriented lanes, SEP padded to WINW, as i32
     comp = jnp.array([3, 2, 1, 0, 4], dtype=jnp.uint8)
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -442,11 +473,10 @@ def map_oriented_lanes_pallas(
 
     gpos, vld, qpos, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, olens,
-        text_pallas["text_rows"], text_pallas["sa_rows"],
-        text_pallas["ht_rows"],
+        text_rows, sa_rows, ht_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
-        n_text=text_pallas["n_text"], interpret=interpret,
+        n_text=n_text, interpret=interpret,
     )
     C, M = cand_cap, max_mmps
     gpos = gpos.reshape(B2, M, C)
@@ -456,8 +486,6 @@ def map_oriented_lanes_pallas(
     mlen = meta[:, 2]
 
     # implied loci (XLA): txp via position map, pos = g - offset - qpos
-    txp_of_pos = text_pallas["txp_of_pos"]
-    txp_offsets = text_pallas["txp_offsets"]
     m_txp = txp_of_pos[gpos]
     m_pos = gpos - txp_offsets[m_txp] - qpos[:, :, None]
 

@@ -183,6 +183,11 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             raise ValueError("paired-end libType requires --mates1/--mates2")
         if not paired and not opts.unmated_reads:
             raise ValueError("single-end libType requires --unmatedReads")
+    if not (0 <= opts.shard_id < opts.num_shards):
+        raise ValueError(
+            f"shard_id {opts.shard_id} out of range for "
+            f"{opts.num_shards} shards"
+        )
     if opts.num_gibbs_samples > 0 and opts.num_bootstraps > 0:
         raise ValueError(
             "cannot perform both Gibbs sampling and bootstrapping; choose one"
@@ -303,11 +308,23 @@ def run_quant(opts: QuantOpts, backend: str = "device",
                 state.num_observed, len(acc),
             )
 
+    # multi-host data parallelism (SURVEY §2.4): round-robin batches
+    # over shards; each shard dumps eq classes, rank 0 merges + resumes
+    batch_idx = 0
+
+    def mine():
+        nonlocal batch_idx
+        take = (batch_idx % opts.num_shards) == opts.shard_id
+        batch_idx += 1
+        return take
+
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
             for b1, b2 in iter_paired_fastq_batches(
                 f1, f2, opts.batch_size, max_len=_probe_max_len(f1)
             ):
+                if not mine():
+                    continue
                 token = mapper.submit_pe(b1, b2, expected)
                 if pending is not None:
                     fold(pending)
@@ -317,6 +334,8 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             for b in iter_fastq_batches(
                 f, opts.batch_size, max_len=_probe_max_len(f)
             ):
+                if not mine():
+                    continue
                 token = mapper.submit_se(b, expected)
                 if pending is not None:
                     fold(pending)

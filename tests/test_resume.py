@@ -190,3 +190,48 @@ def test_meta_has_timings(dumped_run):
     assert t["index_load_seconds"] >= 0
     assert t["inference_seconds"] >= 0
     assert t["reads_per_sec"] > 0
+
+
+def test_shard_flags_merge_to_single_run(sample_data, sample_index, tmp_path):
+    """--numShards/--shardId round-robin batch sharding: two shard runs +
+    mergeeq reproduce the full run without manual FASTQ splitting."""
+    _, index_dir = sample_index
+    outs = []
+    for sid in (0, 1):
+        opts = QuantOpts(
+            index_dir=index_dir, output_dir=str(tmp_path / f"s{sid}"),
+            lib_type="IU", mates1=[sample_data["reads1"]],
+            mates2=[sample_data["reads2"]], batch_size=2048,
+            num_shards=2, shard_id=sid, dump_eq=True, dtype="float64",
+        )
+        run_quant(opts, backend="device")
+        outs.append(str(tmp_path / f"s{sid}"))
+
+    from sailfish_tpu.cli import main
+
+    merged = tmp_path / "merged_eq.txt"
+    assert main(["mergeeq", outs[0], outs[1], "-o", str(merged)]) == 0
+    names, eq = read_eq_classes(str(merged))
+    assert eq.total_count() == 10000
+
+    res = run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=str(tmp_path / "sharded_merge"),
+        lib_type="IU", resume_from_eq=str(merged), dtype="float64",
+    ))
+    full = run_quant(QuantOpts(
+        index_dir=index_dir, output_dir=str(tmp_path / "sharded_full"),
+        lib_type="IU", mates1=[sample_data["reads1"]],
+        mates2=[sample_data["reads2"]], batch_size=2048, dtype="float64",
+    ), backend="device")
+    assert res["num_eq_classes"] == full["num_eq_classes"]
+    np.testing.assert_allclose(res["alphas"], full["alphas"], rtol=1e-9)
+
+
+def test_shard_id_out_of_range(sample_index, sample_data, tmp_path):
+    _, index_dir = sample_index
+    with pytest.raises(ValueError, match="shard_id"):
+        run_quant(QuantOpts(
+            index_dir=index_dir, output_dir=str(tmp_path / "bad"),
+            lib_type="IU", mates1=[sample_data["reads1"]],
+            mates2=[sample_data["reads2"]], num_shards=2, shard_id=2,
+        ))
