@@ -109,7 +109,7 @@ def main():
         f"on {jax.default_backend()} ({jax.devices()[0].device_kind})")
 
     from sailfish_tpu.config import QuantOpts
-    from sailfish_tpu.eqclass.classes import EqClassAccumulator
+    from sailfish_tpu.eqclass.classes import HashedEqClassAccumulator
     from sailfish_tpu.io.fastq import FastqBatch
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
@@ -121,32 +121,35 @@ def main():
 
     def make_runner(bk):
         def run(c1, c2, lens):
-            return bk.map_pe_batch(
+            tok = bk.submit_pe(
                 FastqBatch(codes=c1, lens=lens),
                 FastqBatch(codes=c2, lens=lens), expected,
             )
+            return bk.finish_batch_fast(tok, HashedEqClassAccumulator())
         return run
 
     run_batch = make_runner(backend)
 
     # warmup / compile (falls back to the XLA kernel if the pallas path
-    # fails to compile in this environment)
+    # fails to compile in this environment); exercises the same fast
+    # path as the timed loop so slice/gather buckets are precompiled
     t0 = time.time()
     try:
-        br = run_batch(*batches[0])
+        bs = run_batch(*batches[0])
     except Exception as e:
         log(f"kernel '{KERNEL}' failed ({type(e).__name__}); "
             "falling back to kernel='xla'")
         opts.kernel = "xla"
         backend = DeviceMapperBackend(idx, opts)
         run_batch = make_runner(backend)
-        br = run_batch(*batches[0])
+        bs = run_batch(*batches[0])
     log(f"warmup (compile) {time.time()-t0:.1f}s; "
-        f"mapped {br.mapped.sum()}/{BATCH}")
+        f"mapped {bs.num_mapped}/{BATCH}")
 
     # one-deep pipeline like the quant driver: device maps batch n+1
-    # while the host folds batch n
-    acc = EqClassAccumulator()
+    # while the host folds batch n (fast path: hash-keyed accumulator,
+    # labels fetched only for first-seen classes)
+    acc = HashedEqClassAccumulator()
     t0 = time.time()
     total = 0
     mapped = 0
@@ -157,15 +160,13 @@ def main():
             expected,
         )
         if pending is not None:
-            br = backend.finish_batch(pending)
-            acc.add_many(br.labels, br.label_counts)
-            total += br.n
-            mapped += int(br.mapped.sum())
+            bs = backend.finish_batch_fast(pending, acc)
+            total += bs.n
+            mapped += bs.num_mapped
         pending = token
-    br = backend.finish_batch(pending)
-    acc.add_many(br.labels, br.label_counts)
-    total += br.n
-    mapped += int(br.mapped.sum())
+    bs = backend.finish_batch_fast(pending, acc)
+    total += bs.n
+    mapped += bs.num_mapped
     dt = time.time() - t0
     reads_per_sec = total / dt
     log(f"mapped {mapped}/{total} in {dt:.2f}s -> {reads_per_sec:,.0f} reads/s; "

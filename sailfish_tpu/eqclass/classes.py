@@ -51,6 +51,49 @@ class EqClassAccumulator:
         return EqClasses.from_items(items)
 
 
+class HashedEqClassAccumulator(EqClassAccumulator):
+    """Host-side merge keyed by the 64-bit device label hash.
+
+    The device fast path (DeviceMapperBackend.finish_batch_fast) sends
+    per-batch (hash-key, count) pairs; the exact label bytes are fetched
+    only the first time a key appears, so the per-batch label traffic
+    decays to zero as the run saturates the class set.  `_counts` stays
+    keyed by exact labels (so finish()/merge()/checkpoint dumps are
+    identical to the base class); `_bykey` maps hash key -> label.
+
+    Two distinct labels colliding on all 64 hash bits would merge their
+    counts (~n^2/2^65 for n classes); the exact-label path
+    (EqClassAccumulator + finish_batch) has no such risk and is what the
+    differential tests run.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._bykey: dict[int, tuple[int, ...]] = {}
+
+    def add_hashed(self, keys: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Fold counts for already-known hash keys; return the mask of
+        keys seen for the first time (caller fetches their labels and
+        calls register_new)."""
+        new = np.zeros(len(keys), dtype=bool)
+        bykey = self._bykey
+        d = self._counts
+        for i, (k, c) in enumerate(zip(keys.tolist(), counts.tolist())):
+            label = bykey.get(k)
+            if label is None:
+                new[i] = True
+            else:
+                d[label] = d.get(label, 0) + c
+        return new
+
+    def register_new(self, keys, labels, counts) -> None:
+        bykey = self._bykey
+        d = self._counts
+        for k, label, c in zip(keys.tolist(), labels, counts.tolist()):
+            bykey[k] = label
+            d[label] = d.get(label, 0) + c
+
+
 @dataclasses.dataclass
 class EqClasses:
     """CSR equivalence classes.

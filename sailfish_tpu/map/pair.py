@@ -5,8 +5,11 @@ and of rapmap's mergeLeftRightHitsFuzzy.
 
 All functions operate on the per-lane hit arrays produced by
 map_oriented_lanes and keep static shapes: per fragment the joint-hit
-slots are (4*C,) wide, compacted left and sorted by (transcript,
-left-before-right) exactly like the reference's merged jointHits.
+slots are (4*C,) wide in BLOCK order (left fw/rc then right fw/rc) —
+only the final label compaction sorts, producing labels in (transcript,
+left-before-right) order exactly like the reference's merged jointHits.
+Consumers needing reference hit order (seq-bias first-hit sampling)
+reconstruct it with an explicit (txp, slot) key.
 """
 
 from __future__ import annotations
@@ -31,7 +34,13 @@ _H2_PRIME = jnp.uint32(0x85EBCA6B)
 def _merge_orientations(fw, rc):
     """Combine fwd/rc hits of one read: one hit per transcript; on a
     transcript hit both ways the orientation with the larger first-MMP
-    match length wins (rc only on strictly greater — refimpl.mapper)."""
+    match length wins (rc only on strictly greater — refimpl.mapper).
+
+    The result is NOT txp-sorted (slots are fw block then rc block):
+    everything downstream is either order-agnostic (cross-product pair
+    matching, per-slot compat masks) or restores order itself (the final
+    label compaction sorts by (dropped, txp) — see merge_and_collapse),
+    so the width-2C multi-operand sort this used to do was pure waste."""
     B = fw["txp"].shape[0] // 1
     rc_wins = rc["mlen"] > fw["mlen"]  # (B,)
 
@@ -54,12 +63,6 @@ def _merge_orientations(fw, rc):
     fwd = jnp.concatenate(
         [jnp.ones((B, C), bool), jnp.zeros((B, C), bool)], axis=1
     )
-    key = jnp.where(valid, txp, NEG)
-    # one multi-operand sort (payloads ride the sort network) instead of
-    # argsort + four random gathers — gathers are the TPU bottleneck
-    _, txp, pos, fwd, valid = jax.lax.sort(
-        (key, txp, pos, fwd, valid), dimension=1, num_keys=1, is_stable=True
-    )
     return {
         "txp": txp,
         "pos": pos,
@@ -69,26 +72,36 @@ def _merge_orientations(fw, rc):
     }
 
 
+def _mix32(x):
+    """murmur3 finalizer — full avalanche, vectorized."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
 def _hash_labels(label, count):
-    """Two independent 32-bit rolling hashes over the compacted label row
-    (sentinel PAD ignored), with the length mixed in."""
+    """Two independent 32-bit hashes over the compacted label row
+    (sentinel PAD ignored), with the length mixed in.
+
+    Position-tabulation form: avalanche each (value, position) pair
+    independently, then combine with a commutative reduction — a single
+    vectorized pass instead of the W-step sequential rolling hash (the
+    label is compacted left, so position encodes order)."""
     B, W = label.shape
-    h1 = jnp.full(B, _H1_INIT, jnp.uint32)
-    h2 = jnp.full(B, _H2_INIT, jnp.uint32)
-
-    def body(j, hs):
-        h1, h2 = hs
-        x = label[:, j]
-        live = x != PAD
-        xu = (x + 1).astype(jnp.uint32)
-        h1 = jnp.where(live, (h1 ^ xu) * _H1_PRIME, h1)
-        h2 = jnp.where(live, (h2 + xu) * _H2_PRIME + jnp.uint32(1), h2)
-        return (h1, h2)
-
-    h1, h2 = jax.lax.fori_loop(0, W, body, (h1, h2))
+    live = label != PAD
+    xu = (label + 1).astype(jnp.uint32)
+    j = jnp.arange(W, dtype=jnp.uint32)[None, :]
+    m1 = _mix32(xu ^ (j * _H1_PRIME) ^ _H1_INIT)
+    m2 = _mix32(xu + (j * _H2_PRIME) + _H2_INIT)
+    z = jnp.uint32(0)
+    h1 = jax.lax.reduce(jnp.where(live, m1, z), z, jax.lax.bitwise_xor, (1,))
+    h2 = jnp.where(live, m2, z).sum(axis=1, dtype=jnp.uint32)
     cu = count.astype(jnp.uint32)
-    h1 = (h1 ^ cu) * _H1_PRIME
-    h2 = (h2 + cu) * _H2_PRIME
+    h1 = _mix32((h1 ^ cu) * _H1_PRIME)
+    h2 = _mix32((h2 + cu) * _H2_PRIME)
     return h1, h2
 
 
@@ -199,8 +212,10 @@ def merge_and_collapse(
         p_valid = padw(paired_l, False)
         p_status = jnp.full((B, W), PAIRED, jnp.int32)
 
-        # orphan representation: left then right, stable-sorted by txp
-        # (stable keeps left before right on ties, like inplace_merge)
+        # orphan representation: left block then right block, UNSORTED —
+        # left-before-right on a shared transcript is guaranteed by block
+        # order + the stable label sort below (like inplace_merge); all
+        # other consumers are per-slot masks, so no sort is needed here
         o_txp = jnp.concatenate([left["txp"], right["txp"]], axis=1)
         o_pos = jnp.concatenate([left["pos"], right["pos"]], axis=1)
         o_fwd = jnp.concatenate([left["fwd"], right["fwd"]], axis=1)
@@ -210,11 +225,6 @@ def merge_and_collapse(
         o_status = jnp.concatenate(
             [jnp.full((B, 2 * C), LEFT, jnp.int32),
              jnp.full((B, 2 * C), RIGHT, jnp.int32)], axis=1
-        )
-        okey = jnp.where(o_valid, o_txp, NEG)
-        _, o_txp, o_pos, o_fwd, o_valid, o_status = jax.lax.sort(
-            (okey, o_txp, o_pos, o_fwd, o_valid, o_status),
-            dimension=1, num_keys=1, is_stable=True,
         )
 
         ap = any_paired[:, None]
@@ -270,9 +280,14 @@ def merge_and_collapse(
     num_fwd = (selected & fwd_hit).sum(axis=1)
     num_rc = (selected & ~fwd_hit).sum(axis=1)
 
-    # compact selected txps left, preserving slot (txp) order
+    # compact selected txps left IN ASCENDING TXP ORDER (this sort is
+    # the only place slot order is canonicalized — upstream merges no
+    # longer sort).  Key: selected slots carry their txp, dropped slots
+    # NEG (int32 max) so they sink to the back; stable ties keep slot
+    # order, i.e. left-read hits before right-read hits (inplace_merge
+    # semantics of the reference's orphan merge).
     _, label = jax.lax.sort(
-        ((~selected).astype(jnp.int32), jnp.where(selected, txp, PAD)),
+        (jnp.where(selected, txp, NEG), jnp.where(selected, txp, PAD)),
         dimension=1, num_keys=1, is_stable=True,
     )
     label_len = selected.sum(axis=1)
@@ -323,6 +338,42 @@ def merge_and_collapse(
             "mapped": mapped,
         }
     return out
+
+
+@jax.jit
+def collapse_unique(h1, h2, mapped, label_len):
+    """Within-batch collapse + unique-row compaction, fully on device.
+
+    Sort lanes by (h1, h2), count identical-hash groups, then compact the
+    group representatives to the front.  Returns (uniq, U):
+      uniq (B, 5) int32 — [h1, h2, count, rep_orig_idx, label_len] with
+      the U live classes in rows [0, U); U () int32.
+    The host pulls only rows [0, bucket(U)) — the whole per-batch
+    eq-class traffic is ~U*20 bytes instead of per-fragment arrays.
+    """
+    B = h1.shape[0]
+    sh1, sh2, order, smapped, slen = jax.lax.sort(
+        (h1, h2, jnp.arange(B, dtype=jnp.int32), mapped,
+         label_len.astype(jnp.int32)),
+        dimension=0, num_keys=2, is_stable=True,
+    )
+    newgrp = jnp.ones(B, bool)
+    newgrp = newgrp.at[1:].set((sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1]))
+    gid = jnp.cumsum(newgrp) - 1
+    counts = jax.ops.segment_sum(
+        smapped.astype(jnp.int32), gid, num_segments=B
+    )
+    group_count = counts[gid]
+    is_first = newgrp & smapped
+    _, ch1, ch2, ccnt, crep, clen = jax.lax.sort(
+        ((~is_first).astype(jnp.int32),
+         jax.lax.bitcast_convert_type(sh1, jnp.int32),
+         jax.lax.bitcast_convert_type(sh2, jnp.int32),
+         group_count, order, slen),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    uniq = jnp.stack([ch1, ch2, ccnt, crep, clen], axis=1)
+    return uniq, is_first.sum()
 
 
 @jax.jit

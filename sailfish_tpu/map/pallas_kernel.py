@@ -78,16 +78,26 @@ def _mix_i32(k0, k1):
     return h
 
 
-def pack_kmer_table_rows(ht) -> np.ndarray:
+def pack_kmer_table_rows(ht, sa=None) -> np.ndarray:
     """(S, BUCKET) arrays -> (S/8, 128) i32: eight interleaved 16-word
     buckets [k0 x4 | k1 x4 | lo x4 | cnt x4] per row, so one probe is a
-    single (1, 128) row DMA + rotate."""
+    single (1, 128) row DMA + rotate.
+
+    When `sa` is given, unique k-mers (cnt == 1) store the TEXT POSITION
+    sa[lo] directly instead of the SA offset — the kernel then skips the
+    suffix-array window fetch entirely for the (majority) unique-seed
+    case, removing one HBM round trip from the critical path."""
+    lo = ht["ht_lo"].astype(np.int32)
+    cnt = ht["ht_cnt"].astype(np.int32)
+    if sa is not None:
+        direct = np.asarray(sa, np.int32)[np.clip(lo, 0, len(sa) - 1)]
+        lo = np.where(cnt == 1, direct, lo)
     inter = np.concatenate(
         [
             ht["ht_key0"].view(np.int32),
             ht["ht_key1"].view(np.int32),
-            ht["ht_lo"].astype(np.int32),
-            ht["ht_cnt"].astype(np.int32),
+            lo,
+            cnt,
         ],
         axis=1,
     )  # (S, 16)
@@ -113,13 +123,17 @@ def _scan_kernel(
     vld_ref,     # (LB, M*C) i32 VMEM out
     qpos_ref,    # (LB, M) i32 SMEM out
     meta_ref,    # (LB, 4) i32 SMEM out: [nm, overflow, mlen, reserved]
-    htrow_s,     # (8, 128) i32 scratch (hash tile)
-    fetch_s,     # (16, 128) i32 scratch (SA/text tiles)
-    sarow_s,     # (1, 256) i32 scratch (SA row pair)
-    saal_s,      # (1, 256) i32 scratch (rotated SA)
-    pair_s,      # (1, 256) i32 scratch (text row pair)
-    al_s,        # (C, WINW) i32 scratch (read-aligned text)
-    sem_h, sem_sa, sem_w,
+    htrow_s,     # (LB*8, 128) i32 scratch (per-lane hash tiles)
+    safetch_s,   # (LB*16, 128) i32 scratch (per-lane SA tiles)
+    saal_s,      # (LB, 256) i32 scratch (rotated SA / direct positions)
+    canda_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank A)
+    candb_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank B)
+    pair_s,      # (1, 256) i32 scratch (row-pair staging)
+    ala_s,       # (C, WINW) i32 scratch (read-aligned text, bank A)
+    alb_s,       # (C, WINW) i32 scratch (read-aligned text, bank B)
+    sem_h, sem_sa, sem_ca, sem_cb,
+    st_s,        # (LB, 8) i32 SMEM scratch — per-lane scan state:
+                 # [i, nm, spare, h, lo, cnt, probe_done, spare]
     *,
     k: int,
     C: int,
@@ -129,127 +143,136 @@ def _scan_kernel(
     ht_probes: int,
     n_text: int,
 ):
+    """Phase-synchronous scan: all LB lanes advance one MMP step per
+    outer iteration, and each phase (hash probe, SA window, candidate
+    text windows) issues ITS DMAs FOR EVERY LANE before waiting on any —
+    HBM latency is paid once per phase per step, not once per lane per
+    access.  Per-lane divergence (different step counts, candidate
+    counts, probe chains) is handled by predication: inactive lanes
+    issue no DMAs and touch no state.  Candidate windows additionally
+    pipeline across lanes through two scratch banks (issue lane n+1's
+    fetches while lane n's LCP is computed)."""
     hmask = jnp.int32((1 << ht_bits) - 1)
+    I32 = jnp.int32
 
+    # ---- init outputs + per-lane state ----
     for lane in range(LB):
-        ln = lens_ref[lane, 0]
+        for j in range(4):
+            meta_ref[lane, j] = I32(0)
+        for j in range(M):
+            qpos_ref[lane, j] = I32(0)
+        for j in range(8):
+            st_s[lane, j] = I32(0)
+    vld_ref[...] = jnp.zeros(vld_ref.shape, jnp.int32)
+    gpos_ref[...] = jnp.zeros(gpos_ref.shape, jnp.int32)
 
-        def probe(i):
-            """Hash lookup of the k-mer at position i -> (lo, cnt);
-            cnt = 0 on miss."""
-            key0 = pw_ref[lane, i]
-            key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
-            h0 = _mix_i32(key0, key1) & hmask
+    def lane_act(amask, lane):
+        return ((amask >> lane) & 1) == 1
 
-            def pcond(st):
-                _, done, _, _, att = st
-                return (~done) & (att < ht_probes)
+    def issue_probe(lane):
+        h = st_s[lane, 3]
+        row = h >> 3
+        aligned = (row >> 3) << 3
+        pltpu.make_async_copy(
+            ht_ref.at[pl.ds(aligned, 8), :],
+            htrow_s.at[pl.ds(lane * 8, 8), :],
+            sem_h.at[lane],
+        ).start()
 
-            def pbody(st):
-                h, done, lo, cnt, att = st
-                row = h >> 3                       # hash row (8 buckets)
-                aligned = (row >> 3) << 3
-                cp = pltpu.make_async_copy(
-                    ht_ref.at[pl.ds(aligned, 8), :], htrow_s, sem_h
-                )
-                cp.start()
-                cp.wait()
-                r8 = pltpu.roll(htrow_s[...], 8 - (row & 7), 0)
-                rolled = pltpu.roll(r8[0:1, :], 128 - (h & 7) * 16, 1)
-                found = jnp.asarray(False)
-                flo = jnp.int32(0)
-                fcnt = jnp.int32(0)
-                has_empty = jnp.asarray(False)
-                for e in range(4):
-                    ek0 = rolled[0, e]
-                    ek1 = rolled[0, 4 + e]
-                    elo = rolled[0, 8 + e]
-                    ecnt = rolled[0, 12 + e]
-                    hit_e = (ecnt > 0) & (ek0 == key0) & (ek1 == key1)
-                    flo = jnp.where(hit_e & ~found, elo, flo)
-                    fcnt = jnp.where(hit_e & ~found, ecnt, fcnt)
-                    found = found | hit_e
-                    has_empty = has_empty | (ecnt == 0)
-                lo = jnp.where(found, flo, lo)
-                cnt = jnp.where(found, fcnt, cnt)
-                done = found | has_empty
-                h = jnp.where(done, h, (h + 1) & hmask)
-                return (h, done, lo, cnt, att + 1)
+    def resolve_probe(lane):
+        i = st_s[lane, 0]
+        key0 = pw_ref[lane, i]
+        key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
+        h = st_s[lane, 3]
+        row = h >> 3
+        aligned = (row >> 3) << 3
+        pltpu.make_async_copy(
+            ht_ref.at[pl.ds(aligned, 8), :],
+            htrow_s.at[pl.ds(lane * 8, 8), :],
+            sem_h.at[lane],
+        ).wait()
+        r8 = pltpu.roll(htrow_s[lane * 8 : lane * 8 + 8, :],
+                        8 - (row & 7), 0)
+        rolled = pltpu.roll(r8[0:1, :], 128 - (h & 7) * 16, 1)
+        found = jnp.asarray(False)
+        flo = I32(0)
+        fcnt = I32(0)
+        has_empty = jnp.asarray(False)
+        for e in range(4):
+            ek0 = rolled[0, e]
+            ek1 = rolled[0, 4 + e]
+            elo = rolled[0, 8 + e]
+            ecnt = rolled[0, 12 + e]
+            hit_e = (ecnt > 0) & (ek0 == key0) & (ek1 == key1)
+            flo = jnp.where(hit_e & ~found, elo, flo)
+            fcnt = jnp.where(hit_e & ~found, ecnt, fcnt)
+            found = found | hit_e
+            has_empty = has_empty | (ecnt == 0)
+        done = found | has_empty
+        st_s[lane, 4] = jnp.where(found, flo, st_s[lane, 4])
+        st_s[lane, 5] = jnp.where(found, fcnt, st_s[lane, 5])
+        st_s[lane, 6] = jnp.where(done, 1, 0)
+        st_s[lane, 3] = jnp.where(done, h, (h + 1) & hmask)
 
-            st = (h0, jnp.asarray(False), jnp.int32(0), jnp.int32(0),
-                  jnp.int32(0))
-            st = jax.lax.while_loop(pcond, pbody, st)
-            return st[2], st[3]
-
-        def step_body(state):
-            i, nm, ovf = state
-            lo, cnt = probe(i)
-            over = cnt > C
-            ccnt = jnp.minimum(cnt, C)
-
-            @pl.when(ccnt > 0)
+    def issue_cands(lane, amask, cand_s, sem_c):
+        act = lane_act(amask, lane)
+        i = st_s[lane, 0]
+        ccnt = jnp.minimum(st_s[lane, 5], C)
+        for c in range(C):
+            @pl.when(act & (c < ccnt))
             def _():
-                # SA interval: one 16-row aligned fetch, rotate the two
-                # rows holding [lo, lo+C) to the front, pair them, then
-                # lane-rotate so candidate 0 sits at column 0
-                srow = lo >> 7
-                s_al = (srow >> 3) << 3
-                for r in range(2):
-                    pltpu.make_async_copy(
-                        sa_ref.at[pl.ds(s_al + 8 * r, 8), :],
-                        fetch_s.at[8 * r : 8 * r + 8, :],
-                        sem_sa.at[r],
-                    ).start()
-                for r in range(2):
-                    pltpu.make_async_copy(
-                        sa_ref.at[pl.ds(s_al + 8 * r, 8), :],
-                        fetch_s.at[8 * r : 8 * r + 8, :],
-                        sem_sa.at[r],
-                    ).wait()
-                sr = pltpu.roll(fetch_s[...], 16 - (srow & 7), 0)
-                sarow_s[:, :ROW] = sr[0:1, :]
-                sarow_s[:, ROW:] = sr[1:2, :]
-                saal_s[...] = pltpu.roll(sarow_s[...], 256 - (lo & 127), 1)
+                g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                spos = g - i + ROW  # front SEP row keeps this >= 0
+                trow = spos >> 7
+                t_al = (trow >> 3) << 3
+                pltpu.make_async_copy(
+                    text_ref.at[pl.ds(t_al, 16), :],
+                    cand_s.at[pl.ds(c * 16, 16), :],
+                    sem_c.at[c],
+                ).start()
 
-                # candidate text windows: 16-row aligned fetch, rotate
-                # into READ coordinates (window column j == read pos j)
-                for c in range(C):
-                    @pl.when(c < ccnt)
-                    def _():
-                        g = jnp.clip(saal_s[0, c], 0, n_text - 1)
-                        spos = g - i + ROW  # front SEP row keeps this >= 0
-                        trow = spos >> 7
-                        t_al = (trow >> 3) << 3
-                        rot = spos & 127
-                        for r in range(2):
-                            pltpu.make_async_copy(
-                                text_ref.at[pl.ds(t_al + 8 * r, 8), :],
-                                fetch_s.at[8 * r : 8 * r + 8, :],
-                                sem_w.at[r],
-                            ).start()
-                        for r in range(2):
-                            pltpu.make_async_copy(
-                                text_ref.at[pl.ds(t_al + 8 * r, 8), :],
-                                fetch_s.at[8 * r : 8 * r + 8, :],
-                                sem_w.at[r],
-                            ).wait()
-                        tr = pltpu.roll(fetch_s[...], 16 - (trow & 7), 0)
-                        # window[j] = raw[rot + j]; rows pair A covers
-                        # j in [0,128), pair B covers [128,256)
-                        pair_s[:, :ROW] = tr[0:1, :]
-                        pair_s[:, ROW:] = tr[1:2, :]
-                        al_s[c : c + 1, 0:ROW] = pltpu.roll(
-                            pair_s[...], 256 - rot, 1
-                        )[:, 0:ROW]
-                        pair_s[:, :ROW] = tr[1:2, :]
-                        pair_s[:, ROW:] = tr[2:3, :]
-                        al_s[c : c + 1, ROW:WINW] = pltpu.roll(
-                            pair_s[...], 256 - rot, 1
-                        )[:, 0:ROW]
+    def process_lane(lane, amask, cand_s, al_s, sem_c):
+        act = lane_act(amask, lane)
+        i = st_s[lane, 0]
+        cnt = st_s[lane, 5]
+        ccnt = jnp.minimum(cnt, C)
+        over = cnt > C
+        ln = lens_ref[lane, 0]
+        for c in range(C):
+            @pl.when(act & (c < ccnt))
+            def _():
+                g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                spos = g - i + ROW
+                trow = spos >> 7
+                t_al = (trow >> 3) << 3
+                rot = spos & 127
+                pltpu.make_async_copy(
+                    text_ref.at[pl.ds(t_al, 16), :],
+                    cand_s.at[pl.ds(c * 16, 16), :],
+                    sem_c.at[c],
+                ).wait()
+                tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
+                                16 - (trow & 7), 0)
+                # window[j] = raw[rot + j]; rows pair A covers j in
+                # [0,128), pair B covers [128,256)
+                pair_s[:, :ROW] = tr[0:1, :]
+                pair_s[:, ROW:] = tr[1:2, :]
+                al_s[c : c + 1, 0:ROW] = pltpu.roll(
+                    pair_s[...], 256 - rot, 1
+                )[:, 0:ROW]
+                pair_s[:, :ROW] = tr[1:2, :]
+                pair_s[:, ROW:] = tr[2:3, :]
+                al_s[c : c + 1, ROW:WINW] = pltpu.roll(
+                    pair_s[...], 256 - rot, 1
+                )[:, 0:ROW]
 
+        @pl.when(act)
+        def _():
             # one vectorized LCP over all candidates: first mismatch at
             # column >= i (read padding = SEP mismatches text, so the
-            # read end terminates matches automatically)
+            # read end terminates matches automatically); stale al_s
+            # rows from the bank's previous occupant are masked by
+            # crange < ccnt
             readwin = jnp.broadcast_to(
                 codes_ref[lane : lane + 1, :], (C, WINW)
             )
@@ -265,7 +288,7 @@ def _scan_kernel(
             )
             lstar = jnp.max(lcp2)
             lcp = lcp2[:, 0]
-
+            nm = st_s[lane, 1]
             hit = (lstar >= k) & (~over) & (cnt > 0)
 
             @pl.when(hit)
@@ -275,52 +298,143 @@ def _scan_kernel(
                     @pl.when(nm == m)
                     def _():
                         gpos_ref[lane : lane + 1, m * C : (m + 1) * C] = (
-                            jnp.clip(saal_s[0:1, :C], 0, n_text - 1)
+                            jnp.clip(saal_s[lane : lane + 1, :C], 0,
+                                     n_text - 1)
                         )
                         vld_ref[lane : lane + 1, m * C : (m + 1) * C] = (
                             best.astype(jnp.int32)[None, :]
                         )
                 qpos_ref[lane, nm] = i
-                meta_ref[lane, 2] = jnp.where(nm == 0, lstar, meta_ref[lane, 2])
+                meta_ref[lane, 2] = jnp.where(
+                    nm == 0, lstar, meta_ref[lane, 2]
+                )
 
             meta_ref[lane, 1] = jnp.maximum(
                 meta_ref[lane, 1], jnp.where(over, 1, 0)
             )
-            adv = jnp.where(hit, lstar + 1, 1)
-            return (i + adv, nm + jnp.where(hit, 1, 0), ovf | over)
+            st_s[lane, 0] = i + jnp.where(hit, lstar + 1, 1)
+            st_s[lane, 1] = nm + jnp.where(hit, 1, 0)
 
-        def step_cond(state):
-            i, nm, _ = state
-            return (i + k <= ln) & (nm < M)
+    def obody(carry):
+        s, amask = carry
 
-        # init outputs for this lane
-        for j in range(4):
-            meta_ref[lane, j] = jnp.int32(0)
-        for j in range(M):
-            qpos_ref[lane, j] = jnp.int32(0)
-        vld_ref[lane : lane + 1, :] = jnp.zeros(
-            (1, vld_ref.shape[1]), jnp.int32
+        # ---- Phase A: hash probes, batched across lanes ----
+        for lane in range(LB):
+            @pl.when(lane_act(amask, lane))
+            def _():
+                i = st_s[lane, 0]
+                key0 = pw_ref[lane, i]
+                key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
+                st_s[lane, 3] = _mix_i32(key0, key1) & hmask
+                st_s[lane, 4] = I32(0)
+                st_s[lane, 5] = I32(0)
+                st_s[lane, 6] = I32(0)
+                issue_probe(lane)
+
+        def pcond(c):
+            pmask, _ = c
+            return pmask != 0
+
+        def pbody(c):
+            pmask, att = c
+            for lane in range(LB):
+                @pl.when(((pmask >> lane) & 1) == 1)
+                def _():
+                    resolve_probe(lane)
+            nmask = I32(0)
+            for lane in range(LB):
+                live = ((pmask >> lane) & 1) & (1 - st_s[lane, 6])
+                live = jnp.where(att + 1 < ht_probes, live, 0)
+                nmask = nmask | (live << lane)
+            for lane in range(LB):
+                @pl.when(((nmask >> lane) & 1) == 1)
+                def _():
+                    issue_probe(lane)
+            return (nmask, att + 1)
+
+        jax.lax.while_loop(pcond, pbody, (amask, I32(0)))
+
+        # ---- Phase B: SA windows (cnt > 1) / direct position (cnt == 1,
+        # the packed table stores sa[lo] so no fetch is needed) ----
+        for lane in range(LB):
+            @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 1))
+            def _():
+                lo = st_s[lane, 4]
+                srow = lo >> 7
+                s_al = (srow >> 3) << 3
+                pltpu.make_async_copy(
+                    sa_ref.at[pl.ds(s_al, 16), :],
+                    safetch_s.at[pl.ds(lane * 16, 16), :],
+                    sem_sa.at[lane],
+                ).start()
+        for lane in range(LB):
+            act = lane_act(amask, lane)
+
+            @pl.when(act & (st_s[lane, 5] > 1))
+            def _():
+                lo = st_s[lane, 4]
+                srow = lo >> 7
+                s_al = (srow >> 3) << 3
+                pltpu.make_async_copy(
+                    sa_ref.at[pl.ds(s_al, 16), :],
+                    safetch_s.at[pl.ds(lane * 16, 16), :],
+                    sem_sa.at[lane],
+                ).wait()
+                sr = pltpu.roll(safetch_s[lane * 16 : lane * 16 + 16, :],
+                                16 - (srow & 7), 0)
+                pair_s[:, :ROW] = sr[0:1, :]
+                pair_s[:, ROW:] = sr[1:2, :]
+                saal_s[lane : lane + 1, :] = pltpu.roll(
+                    pair_s[...], 256 - (lo & 127), 1
+                )
+
+            @pl.when(act & (st_s[lane, 5] == 1))
+            def _():
+                saal_s[lane : lane + 1, :] = jnp.full(
+                    (1, 2 * ROW), st_s[lane, 4], jnp.int32
+                )
+
+        # ---- Phase C: candidate windows, two banks pipelined over
+        # lanes (issue lane n's fetches while lane n-2's are processed)
+        banks = (
+            (canda_s, ala_s, sem_ca),
+            (candb_s, alb_s, sem_cb),
         )
-        gpos_ref[lane : lane + 1, :] = jnp.zeros(
-            (1, gpos_ref.shape[1]), jnp.int32
-        )
+        issue_cands(0, amask, banks[0][0], banks[0][2])
+        if LB > 1:
+            issue_cands(1, amask, banks[1][0], banks[1][2])
+        for lane in range(2, LB):
+            b = banks[lane & 1]
+            process_lane(lane - 2, amask, b[0], b[1], b[2])
+            issue_cands(lane, amask, b[0], b[2])
+        for lane in (LB - 2, LB - 1):
+            if lane >= 0:
+                b = banks[lane & 1]
+                process_lane(lane, amask, b[0], b[1], b[2])
 
-        def ocond(st):
-            s, inner = st
-            return (s < max_steps) & step_cond(inner)
+        # ---- next-step active mask ----
+        nmask = I32(0)
+        for lane in range(LB):
+            a = (amask >> lane) & 1
+            a = a & jnp.where(
+                st_s[lane, 0] + k <= lens_ref[lane, 0], 1, 0
+            )
+            a = a & jnp.where(st_s[lane, 1] < M, 1, 0)
+            nmask = nmask | (a << lane)
+        return (s + 1, nmask)
 
-        def obody(st):
-            s, inner = st
-            return (s + 1, step_body(inner))
+    def ocond(carry):
+        s, amask = carry
+        return (s < max_steps) & (amask != 0)
 
-        _, final = jax.lax.while_loop(
-            ocond, obody,
-            (jnp.int32(0), (jnp.int32(0), jnp.int32(0), jnp.asarray(False))),
+    am0 = I32(0)
+    for lane in range(LB):
+        am0 = am0 | (
+            jnp.where(k <= lens_ref[lane, 0], 1, 0) << lane
         )
-        meta_ref[lane, 0] = final[1]
-        meta_ref[lane, 1] = jnp.maximum(
-            meta_ref[lane, 1], jnp.where(final[2], 1, 0)
-        )
+    jax.lax.while_loop(ocond, obody, (I32(0), am0))
+    for lane in range(LB):
+        meta_ref[lane, 0] = st_s[lane, 1]
 
 
 @partial(
@@ -385,15 +499,19 @@ def mmp_scan_pallas(
             jax.ShapeDtypeStruct((B2, 4), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((16, 128), jnp.int32),
-            pltpu.VMEM((1, 256), jnp.int32),
-            pltpu.VMEM((1, 256), jnp.int32),
-            pltpu.VMEM((1, 256), jnp.int32),
-            pltpu.VMEM((cand_cap, WINW), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((LB * 8, 128), jnp.int32),    # htrow_s
+            pltpu.VMEM((LB * 16, 128), jnp.int32),   # safetch_s
+            pltpu.VMEM((LB, 256), jnp.int32),        # saal_s
+            pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # canda_s
+            pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # candb_s
+            pltpu.VMEM((1, 256), jnp.int32),         # pair_s
+            pltpu.VMEM((cand_cap, WINW), jnp.int32),  # ala_s
+            pltpu.VMEM((cand_cap, WINW), jnp.int32),  # alb_s
+            pltpu.SemaphoreType.DMA((LB,)),          # sem_h
+            pltpu.SemaphoreType.DMA((LB,)),          # sem_sa
+            pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_ca
+            pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cb
+            pltpu.SMEM((LB, 8), jnp.int32),          # st_s
         ],
         interpret=interpret,
     )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows, ht_rows)
@@ -542,7 +660,9 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     return {
         "text_rows": jnp.asarray(text.reshape(-1, ROW)),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
-        "ht_rows": jnp.asarray(pack_kmer_table_rows(index.kmer_ht)),
+        "ht_rows": jnp.asarray(
+            pack_kmer_table_rows(index.kmer_ht, index.sa)
+        ),
         "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
         "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
         "n_text": n,

@@ -1,13 +1,24 @@
 """Device mapping backend: host orchestration of the batched kernels.
 
-Per batch: encode oriented lanes -> map_oriented_lanes (read1, read2) ->
-merge_and_collapse -> collapse_batch, then a small D2H transfer:
-per-fragment stat vectors plus ONLY the unique label rows of the batch
-(gathered on device with bucketed padding to bound recompiles).  The
-host merges (label -> count) into the EqClassAccumulator dict keyed by
-the exact label bytes, so the 64-bit on-device label hash only has to be
-collision-free within a batch for counting, and any cross-batch
-collision is harmless.
+Per batch ONE fused dispatch runs the whole device tail: oriented-lane
+mapping (read1, read2) -> merge_and_collapse -> collapse_unique ->
+scalar/FLD reductions (-> bias observation).  On a tunneled device each
+dispatch costs a round trip, so fusing the tail and reducing stats on
+device is worth more than any kernel micro-optimization.
+
+The fast path (finish_batch_fast) then pulls only:
+  * an 8-word scalar vector (counters) — the sync point,
+  * the first bucket(U) rows of the (h1, h2, count, rep, len) unique
+    matrix (~20 bytes per eq class in the batch),
+  * the FLD histogram while the first-10k gate is still open,
+  * exact label rows ONLY for hash keys never seen before in the run
+    (steady state: none — the transfer decays to ~zero).
+Within a batch, classes are merged by their 64-bit label hash; across
+batches the accumulator is keyed by the same hash and stores the exact
+label fetched at first sight.  A cross-batch collision of two distinct
+labels on 64 bits (~n^2/2^65) would merge their counts; the full-detail
+path (finish_batch, used by the differential tests) keys by exact label
+bytes and is collision-free.
 """
 
 from __future__ import annotations
@@ -28,14 +39,15 @@ from ..libformat import (
 )
 from .encode import make_oriented_lanes
 from .kernels import map_oriented_lanes
-from .pair import collapse_batch, merge_and_collapse
+from .pair import collapse_unique, merge_and_collapse
 
 _PACK_PAD = 512  # slack past text end for packed-word gathers
 
 
 @dataclasses.dataclass
 class BatchResult:
-    """Aggregated mapping outcome of one batch (n valid fragments)."""
+    """Full per-fragment mapping outcome of one batch (n valid
+    fragments) — the differential-test interface."""
     n: int
     labels: list[tuple[int, ...]]
     label_counts: np.ndarray
@@ -52,16 +64,28 @@ class BatchResult:
     gc_hist: np.ndarray | None = None      # device backend: (101,) GC obs
 
 
+@dataclasses.dataclass
+class BatchStats:
+    """Reduced outcome of one batch (fast path): scalar counters plus
+    lazy pulls for the rarely-needed detail (FLD gate crossing, bias)."""
+    n: int
+    num_mapped: int
+    sum_joint: int
+    ub_hits: int
+    num_fwd: int
+    num_rc: int
+    fld_count: int                 # unique-paired obs (< maxFragLen)
+    fld_hist: object               # () -> np.ndarray (max_frag_len,)
+    fld_details: object            # () -> (frag_lens, unique_paired)
+    seq_samples_fn: object = None  # () -> (n,) int32 | None
+    gc_hist_fn: object = None      # () -> (101,) int32 | None
+
+
 def _bucket(n: int) -> int:
     b = 64
     while b < n:
         b *= 2
     return b
-
-
-@jax.jit
-def _gather_rows(mat, idx):
-    return jnp.take(mat, idx, axis=0)
 
 
 @partial(jax.jit, static_argnames=("w",))
@@ -72,30 +96,72 @@ def _gather_rows_w(mat, idx, *, w: int):
     return jnp.take(mat, idx, axis=0)[:, :w]
 
 
-@jax.jit
-def _pack_stats(out):
-    """Pack per-fragment stats into one (B, 7) int32 matrix so the host
-    pulls a single array per batch (tunnel roundtrips are expensive)."""
-    return jnp.stack(
-        [
-            out["mapped"].astype(jnp.int32),
-            out["num_joint"].astype(jnp.int32),
-            out["num_fwd"].astype(jnp.int32),
-            out["num_rc"].astype(jnp.int32),
-            out["unique_paired"].astype(jnp.int32),
-            out["frag_len"].astype(jnp.int32),
-            out["label_len"].astype(jnp.int32),
-        ],
-        axis=1,
-    )
+@partial(jax.jit, static_argnames=("u",))
+def _slice_rows(mat, *, u: int):
+    return mat[:u]
 
 
-@jax.jit
-def _pack_collapse(is_first, group_count, order):
-    return jnp.stack(
-        [is_first.astype(jnp.int32), group_count.astype(jnp.int32), order],
-        axis=1,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "paired_end", "cand_cap", "max_read_occs", "allow_orphans",
+        "allow_dovetail", "ignore_compat", "enforce_compat",
+        "max_frag_len", "seq_on", "gc_on",
+    ),
+)
+def _fused_tail(
+    h1f, h1r, h2f, h2r, l1, l2, orient, strand, se_flags, bias_text,
+    *,
+    paired_end, cand_cap, max_read_occs, allow_orphans, allow_dovetail,
+    ignore_compat, enforce_compat, max_frag_len, seq_on, gc_on,
+):
+    """merge + collapse + reductions under ONE jit (one dispatch)."""
+    out = merge_and_collapse(
+        h1f, h1r, h2f, h2r, l1, l2, orient, strand, se_flags,
+        paired_end=paired_end, cand_cap=cand_cap,
+        max_read_occs=max_read_occs, allow_orphans=allow_orphans,
+        allow_dovetail=allow_dovetail, ignore_compat=ignore_compat,
+        enforce_compat=enforce_compat, return_slots=(seq_on or gc_on),
     )
+    uniq, num_u = collapse_unique(
+        out["h1"], out["h2"], out["mapped"], out["label_len"]
+    )
+    fl = out["frag_len"]
+    sel = out["unique_paired"] & (fl < max_frag_len)
+    fldhist = jnp.bincount(
+        jnp.where(sel, fl, max_frag_len), length=max_frag_len + 1
+    )[:max_frag_len].astype(jnp.int32)
+    i32 = jnp.int32
+    scalars = jnp.stack([
+        out["mapped"].sum().astype(i32),
+        out["num_joint"].sum().astype(i32),
+        (out["num_joint"] > 0).sum().astype(i32),
+        out["num_fwd"].sum().astype(i32),
+        out["num_rc"].sum().astype(i32),
+        num_u.astype(i32),
+        sel.sum().astype(i32),
+        i32(0),
+    ])
+    res = {
+        "scalars": scalars,
+        "fldhist": fldhist,
+        "uniq": uniq,
+        "label": out["label"],
+        "label_len": out["label_len"],
+        "mapped": out["mapped"],
+        "num_joint": out["num_joint"],
+        "unique_paired": out["unique_paired"],
+        "frag_len": fl,
+    }
+    if seq_on or gc_on:
+        from ..stats.bias import bias_observe_device
+
+        ss, gh = bias_observe_device(
+            out["slots"], bias_text, l1, l2, gc_on=gc_on, seq_on=seq_on
+        )
+        res["seq_samples"] = ss
+        res["gc_hist"] = gh
+    return res
 
 
 class DeviceMapperBackend:
@@ -227,117 +293,133 @@ class DeviceMapperBackend:
         pl[:n] = lens
         return pc, pl
 
-    def _finish(self, out, n: int, lens1=None, lens2=None) -> BatchResult:
-        seq_samples = gc_hist = None
-        if self.bias_text is not None and "slots" in out:
-            from ..stats.bias import bias_observe_device
-
-            seq_on, gc_on = self._bias_flags
-            ss, gh = bias_observe_device(
-                out["slots"], self.bias_text, lens1, lens2,
-                gc_on=gc_on, seq_on=seq_on,
-            )
-            seq_samples = np.asarray(ss)[:n]
-            gc_hist = np.asarray(gh)
-        cb = _pack_collapse(
-            *collapse_batch(out["h1"], out["h2"], out["mapped"])
+    def _tail(self, hits1, hits2, l1, l2, expected, *, paired_end: bool):
+        opts = self.opts
+        orient, strand, se_flags = self._fmt_args(expected)
+        seq_on, gc_on = self._bias_flags
+        return _fused_tail(
+            hits1[0], hits1[1], hits2[0], hits2[1], l1, l2,
+            orient, strand, se_flags,
+            self.bias_text if (seq_on or gc_on) else {},
+            paired_end=paired_end,
+            cand_cap=opts.hit_capacity,
+            max_read_occs=opts.max_read_occs,
+            allow_orphans=opts.allow_orphans,
+            allow_dovetail=opts.allow_dovetail,
+            ignore_compat=opts.ignore_lib_compat,
+            enforce_compat=opts.enforce_lib_compat,
+            max_frag_len=opts.max_frag_len,
+            seq_on=seq_on, gc_on=gc_on,
         )
-        stats = np.asarray(_pack_stats(out))     # one D2H pull
-        cb = np.asarray(cb)                      # one D2H pull
-        is_first = cb[:, 0].astype(bool)
-        group_count = cb[:, 1]
-        order = cb[:, 2]
-        label_len = stats[:, 6]
 
-        rep_pos = np.nonzero(is_first)[0]
-        rep_idx = order[rep_pos]
-        counts = group_count[rep_pos]
+    def _pull_uniq(self, res):
+        """Sync on the batch, then pull the compacted unique-class rows
+        (bucketed so at most log2(B) slice graphs ever compile)."""
+        scal = np.asarray(res["scalars"])
+        U = int(scal[5])
+        upad = min(_bucket(max(U, 1)), res["uniq"].shape[0])
+        uniq = np.asarray(_slice_rows(res["uniq"], u=upad))[:U]
+        uv = uniq.view(np.uint32)
+        keys = (uv[:, 0].astype(np.uint64) << np.uint64(32)) | uv[:, 1]
+        return scal, uniq, keys
+
+    def _fetch_labels(self, res, rep_idx, rep_lens):
+        """Exact label tuples for the given representative fragments."""
         U = len(rep_idx)
-        labels: list[tuple[int, ...]] = []
-        if U:
-            upad = _bucket(U)
-            idx = np.zeros(upad, dtype=np.int32)
-            idx[:U] = rep_idx
-            rep_lens = label_len[rep_idx]
-            wmax = int(rep_lens.max())
-            w = min(_bucket(max(wmax, 1)) if wmax > 8 else 8,
-                    out["label"].shape[1])
-            rows = np.asarray(
-                _gather_rows_w(out["label"], jnp.asarray(idx), w=w)
-            )[:U]
-            # bulk int conversion (tolist) beats per-element int() ~10x
-            rowlist = rows[:, :wmax].tolist()
-            labels = [
-                tuple(row[:ln]) for row, ln in zip(rowlist, rep_lens)
-            ]
+        if not U:
+            return []
+        upad = _bucket(U)
+        idx = np.zeros(upad, dtype=np.int32)
+        idx[:U] = rep_idx
+        wmax = int(rep_lens.max())
+        w = min(_bucket(max(wmax, 1)) if wmax > 8 else 8,
+                res["label"].shape[1])
+        rows = np.asarray(
+            _gather_rows_w(res["label"], jnp.asarray(idx), w=w)
+        )[:U]
+        # bulk int conversion (tolist) beats per-element int() ~10x
+        rowlist = rows[:, :wmax].tolist()
+        return [tuple(row[:ln]) for row, ln in zip(rowlist, rep_lens)]
 
-        return BatchResult(
-            n=n,
-            labels=labels,
-            label_counts=counts,
-            mapped=stats[:n, 0].astype(bool),
-            num_joint=stats[:n, 1],
-            num_fwd=int(stats[:n, 2].sum()),
-            num_rc=int(stats[:n, 3].sum()),
-            unique_paired=stats[:n, 4].astype(bool),
-            frag_lens=stats[:n, 5],
-            seq_samples=seq_samples,
-            gc_hist=gc_hist,
-        )
-
-    # Submission is async (jax dispatch); _finish is the only sync
-    # point.  submit_pe/finish_batch let the driver run a one-deep
+    # Submission is async (jax dispatch); the finishers are the only
+    # sync points.  submit_*/finish_batch* let the driver run a one-deep
     # pipeline: device maps batch n+1 while the host folds batch n.
     def submit_pe(self, b1, b2, expected: LibraryFormat):
-        opts = self.opts
         n = b1.count
         c1, l1 = self._pad_batch(b1.codes, b1.lens)
         c2, l2 = self._pad_batch(b2.codes, b2.lens)
-        h1f, h1r = self._map_lanes(c1, l1)
-        h2f, h2r = self._map_lanes(c2, l2)
-        orient, strand, se_flags = self._fmt_args(expected)
-        out = merge_and_collapse(
-            h1f, h1r, h2f, h2r,
-            jnp.asarray(l1), jnp.asarray(l2),
-            orient, strand, se_flags,
-            paired_end=True,
-            cand_cap=opts.hit_capacity,
-            max_read_occs=opts.max_read_occs,
-            allow_orphans=opts.allow_orphans,
-            allow_dovetail=opts.allow_dovetail,
-            ignore_compat=opts.ignore_lib_compat,
-            enforce_compat=opts.enforce_lib_compat,
-            return_slots=self.bias_text is not None,
+        h1 = self._map_lanes(c1, l1)
+        h2 = self._map_lanes(c2, l2)
+        jl1, jl2 = jnp.asarray(l1), jnp.asarray(l2)
+        res = self._tail(h1, h2, jl1, jl2, expected, paired_end=True)
+        return (res, n)
+
+    def submit_se(self, b, expected: LibraryFormat):
+        n = b.count
+        c1, l1 = self._pad_batch(b.codes, b.lens)
+        h1 = self._map_lanes(c1, l1)
+        jl1 = jnp.asarray(l1)
+        res = self._tail(h1, h1, jl1, jl1, expected, paired_end=False)
+        return (res, n)
+
+    def finish_batch_fast(self, token, acc) -> BatchStats:
+        """Fold the batch's eq classes into `acc` (a hash-keyed
+        accumulator) and return reduced counters.  Labels are fetched
+        from device only for hash keys `acc` has never seen."""
+        res, n = token
+        scal, uniq, keys = self._pull_uniq(res)
+        counts = uniq[:, 2].astype(np.int64)
+        new = acc.add_hashed(keys, counts)
+        if new.any():
+            labels = self._fetch_labels(res, uniq[new, 3], uniq[new, 4])
+            acc.register_new(keys[new], labels, counts[new])
+        seq_on, gc_on = self._bias_flags
+        return BatchStats(
+            n=n,
+            num_mapped=int(scal[0]),
+            sum_joint=int(scal[1]),
+            ub_hits=int(scal[2]),
+            num_fwd=int(scal[3]),
+            num_rc=int(scal[4]),
+            fld_count=int(scal[6]),
+            fld_hist=lambda: np.asarray(res["fldhist"]).astype(np.int64),
+            fld_details=lambda: (
+                np.asarray(res["frag_len"])[:n],
+                np.asarray(res["unique_paired"])[:n],
+            ),
+            seq_samples_fn=(
+                (lambda: np.asarray(res["seq_samples"])[:n])
+                if seq_on else None
+            ),
+            gc_hist_fn=(
+                (lambda: np.asarray(res["gc_hist"])) if gc_on else None
+            ),
         )
-        return (out, n, jnp.asarray(l1), jnp.asarray(l2))
 
     def finish_batch(self, token) -> BatchResult:
-        out, n, l1, l2 = token
-        return self._finish(out, n, l1, l2)
+        """Full-detail finish (differential tests): exact labels for
+        every class plus per-fragment stat vectors."""
+        res, n = token
+        scal, uniq, _ = self._pull_uniq(res)
+        labels = self._fetch_labels(res, uniq[:, 3], uniq[:, 4])
+        seq_on, gc_on = self._bias_flags
+        return BatchResult(
+            n=n,
+            labels=labels,
+            label_counts=uniq[:, 2].astype(np.int64),
+            mapped=np.asarray(res["mapped"])[:n],
+            num_joint=np.asarray(res["num_joint"])[:n],
+            num_fwd=int(scal[3]),
+            num_rc=int(scal[4]),
+            unique_paired=np.asarray(res["unique_paired"])[:n],
+            frag_lens=np.asarray(res["frag_len"])[:n],
+            seq_samples=(np.asarray(res["seq_samples"])[:n]
+                         if seq_on else None),
+            gc_hist=(np.asarray(res["gc_hist"]) if gc_on else None),
+        )
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
         return self.finish_batch(self.submit_pe(b1, b2, expected))
-
-    def submit_se(self, b, expected: LibraryFormat):
-        opts = self.opts
-        n = b.count
-        c1, l1 = self._pad_batch(b.codes, b.lens)
-        h1f, h1r = self._map_lanes(c1, l1)
-        orient, strand, se_flags = self._fmt_args(expected)
-        out = merge_and_collapse(
-            h1f, h1r, h1f, h1r,
-            jnp.asarray(l1), jnp.asarray(l1),
-            orient, strand, se_flags,
-            paired_end=False,
-            cand_cap=opts.hit_capacity,
-            max_read_occs=opts.max_read_occs,
-            allow_orphans=opts.allow_orphans,
-            allow_dovetail=opts.allow_dovetail,
-            ignore_compat=opts.ignore_lib_compat,
-            enforce_compat=opts.enforce_lib_compat,
-            return_slots=self.bias_text is not None,
-        )
-        return (out, n, jnp.asarray(l1), jnp.asarray(l1))
 
     def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
         return self.finish_batch(self.submit_se(b, expected))

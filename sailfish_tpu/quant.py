@@ -102,6 +102,31 @@ class RefMapperBackend:
         return token
 
 
+def _accumulate_stats(bs, state: ExperimentState, max_frag_len: int):
+    """Fold one BatchStats (device fast path) into the experiment state.
+    Eq classes were already folded by finish_batch_fast; the FLD first-N
+    gate normally consumes the device histogram wholesale and only pulls
+    per-fragment detail for the one batch that crosses the N cap (exact
+    file-order replay of src/SailfishQuantify.cpp:419-434)."""
+    state.num_observed += bs.n
+    state.num_frag_hits += bs.sum_joint
+    state.upper_bound_hits += bs.ub_hits
+    state.num_mapped += bs.num_mapped
+    state.num_fwd += bs.num_fwd
+    state.num_rc += bs.num_rc
+    if state.remaining_fl_ops > 0 and bs.fld_count:
+        if bs.fld_count <= state.remaining_fl_ops:
+            state.fl_hist += bs.fld_hist()
+            state.remaining_fl_ops -= bs.fld_count
+        else:
+            fls, up = bs.fld_details()
+            fls = fls[up]
+            fls = fls[fls < max_frag_len][: state.remaining_fl_ops]
+            if len(fls):
+                state.fl_hist += np.bincount(fls, minlength=max_frag_len)
+                state.remaining_fl_ops -= len(fls)
+
+
 def _accumulate(br, state: ExperimentState, acc: EqClassAccumulator,
                 max_frag_len: int):
     """Fold one BatchResult into the experiment state.  The FLD gating
@@ -216,7 +241,6 @@ def run_quant(opts: QuantOpts, backend: str = "device",
         remaining_fl_ops=opts.num_frag_samples,
         fl_hist=np.zeros(opts.max_frag_len, dtype=np.int64),
     )
-    acc = EqClassAccumulator()
 
     if opts.resume_from_eq:
         # checkpoint resume: inference + outputs from an eq-class dump
@@ -255,6 +279,15 @@ def run_quant(opts: QuantOpts, backend: str = "device",
         )
 
     mapper = make_backend(index, opts, backend)
+    # device backend: reduced-stats fast path, eq classes keyed by the
+    # 64-bit label hash with labels fetched once per distinct class
+    use_fast = hasattr(mapper, "finish_batch_fast")
+    if use_fast:
+        from .eqclass.classes import HashedEqClassAccumulator
+
+        acc = HashedEqClassAccumulator()
+    else:
+        acc = EqClassAccumulator()
 
     # bias model observations (device backend observes on-device; the
     # refimpl backend replays the reference's per-hit loop)
@@ -279,8 +312,22 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     def fold(pending):
         nonlocal next_progress, next_ckpt
         token, obs = pending
-        br = mapper.finish_batch(token)
-        _accumulate(br, state, acc, opts.max_frag_len)
+        if use_fast:
+            bs = mapper.finish_batch_fast(token, acc)
+            _accumulate_stats(bs, state, opts.max_frag_len)
+            br = None
+            if bias_state is not None:
+                import types
+
+                br = types.SimpleNamespace(
+                    per_read=None,
+                    seq_samples=(bs.seq_samples_fn()
+                                 if bs.seq_samples_fn else None),
+                    gc_hist=bs.gc_hist_fn() if bs.gc_hist_fn else None,
+                )
+        else:
+            br = mapper.finish_batch(token)
+            _accumulate(br, state, acc, opts.max_frag_len)
         if bias_state is not None:
             if obs[1] is not None:
                 bias_state.observe_batch(index, obs[0], obs[1], br)

@@ -212,8 +212,13 @@ def bias_observe_device(slots, bias_text, lens1, lens2, *, gc_on: bool,
             base = (fwd6 >> (2 * (K_BIAS - 1 - j))) & 3
             rc6 = rc6 | ((3 - base) << (2 * j))
         kidx = jnp.where(fwd, rc6, fwd6)
-        # first qualifying slot per fragment
-        first = jnp.argmax(ok, axis=1)
+        # first qualifying hit in merged jointHits order = ascending
+        # (txp, slot) — slots are block-ordered (left before right), not
+        # txp-sorted, so order by explicit key.  txp*W stays in int32 for
+        # txp < 2^31/W (~4M transcripts at W=512).
+        okey = jnp.where(ok, txp * W + jnp.arange(W, dtype=jnp.int32)[None, :],
+                         jnp.int32(2**31 - 1))
+        first = jnp.argmin(okey, axis=1)
         has = ok.any(axis=1)
         seq_sample = jnp.where(
             has,

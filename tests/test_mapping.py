@@ -126,3 +126,42 @@ def test_orphan_discard(toy_world):
     bd = dev.map_pe_batch(b1, b2, exp)
     assert as_dict(br) == as_dict(bd)
     assert np.array_equal(br.mapped, bd.mapped)
+
+
+def test_fast_path_matches_detail(toy_world, backends):
+    """finish_batch_fast (hash-keyed accumulator, reduced stats) must
+    agree with the full-detail finish_batch on classes and counters,
+    across multiple batches so the known-hash (no label fetch) branch is
+    exercised."""
+    from sailfish_tpu.eqclass.classes import HashedEqClassAccumulator
+
+    _, dev, opts = backends
+    exp = parse_library_format("IU")
+    acc = HashedEqClassAccumulator()
+    detail = {}
+    tot = dict(num_mapped=0, sum_joint=0, ub_hits=0, num_fwd=0, num_rc=0)
+    fld = np.zeros(opts.max_frag_len, dtype=np.int64)
+    fld_n = 0
+    for seed in (11, 12, 11):
+        r1, r2, _ = toy_world["sim"](256, err_rate=0.3, seed=seed)
+        b1, b2 = to_batch(r1), to_batch(r2)
+        br = dev.map_pe_batch(b1, b2, exp)
+        for lbl, c in zip(br.labels, br.label_counts):
+            detail[lbl] = detail.get(lbl, 0) + int(c)
+        bs = dev.finish_batch_fast(dev.submit_pe(b1, b2, exp), acc)
+        tot["num_mapped"] += bs.num_mapped
+        tot["sum_joint"] += bs.sum_joint
+        tot["ub_hits"] += bs.ub_hits
+        tot["num_fwd"] += bs.num_fwd
+        tot["num_rc"] += bs.num_rc
+        fld += bs.fld_hist()
+        fld_n += bs.fld_count
+        fls, up = bs.fld_details()
+        sel = fls[up]
+        assert bs.fld_count == int((sel < opts.max_frag_len).sum())
+        assert bs.num_mapped == int(br.mapped.sum())
+        assert bs.sum_joint == int(br.num_joint.sum())
+        assert bs.ub_hits == int((br.num_joint > 0).sum())
+        assert (bs.num_fwd, bs.num_rc) == (br.num_fwd, br.num_rc)
+    assert dict(acc._counts) == detail
+    assert fld_n == int(fld.sum())
