@@ -44,6 +44,7 @@ skipping inactive work.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -55,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 WINR = 128          # max read length
 ROW = 128           # text codes per i32 row
 WINW = 256          # read-coordinate window width (>= max read length x2)
-LB = 8              # lanes per kernel instance
+LB = int(os.environ.get("SF_PALLAS_LB", "8"))  # lanes per kernel instance
 BUCKETS_PER_ROW = 8  # 8 x 16 i32 = one 512-byte hash row
 PAD_ROWS = 24       # row padding so 8-row aligned fetches stay in bounds
 
@@ -118,20 +119,27 @@ def _scan_kernel(
     lens_ref,    # (LB, 1) i32 SMEM
     text_ref,    # (Rt, 128) i32 HBM — codes rows, SEP padded, +1 front row
     sa_ref,      # (Rs, 128) i32 HBM — SA rows, sentinel padded
+    satxp_ref,   # (Rs, 128) i32 HBM — txp_of_pos[sa] (SA-ordered)
+    sapos_ref,   # (Rs, 128) i32 HBM — sa - txp_offset (SA-ordered)
     ht_ref,      # (S/8, 128) i32 HBM
-    gpos_ref,    # (LB, M*C) i32 VMEM out
+    gtxp_ref,    # (LB, M*C) i32 VMEM out — candidate transcript ids
+    gpin_ref,    # (LB, M*C) i32 VMEM out — candidate in-txp positions
+                 # (already minus the query offset)
     vld_ref,     # (LB, M*C) i32 VMEM out
-    qpos_ref,    # (LB, M) i32 SMEM out
     meta_ref,    # (LB, 4) i32 SMEM out: [nm, overflow, mlen, reserved]
     htrow_s,     # (LB*8, 128) i32 scratch (per-lane hash tiles)
     safetch_s,   # (LB*16, 128) i32 scratch (per-lane SA tiles)
-    saal_s,      # (LB, 256) i32 scratch (rotated SA / direct positions)
+    txfetch_s,   # (LB*16, 128) i32 scratch (per-lane satxp tiles)
+    pofetch_s,   # (LB*16, 128) i32 scratch (per-lane sapos tiles)
+    saal_s,      # (LB, 256) i32 scratch (rotated SA interval positions)
+    txal_s,      # (LB, 256) i32 scratch (rotated satxp)
+    poal_s,      # (LB, 256) i32 scratch (rotated sapos)
     canda_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank A)
     candb_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank B)
     pair_s,      # (1, 256) i32 scratch (row-pair staging)
     ala_s,       # (C, WINW) i32 scratch (read-aligned text, bank A)
     alb_s,       # (C, WINW) i32 scratch (read-aligned text, bank B)
-    sem_h, sem_sa, sem_ca, sem_cb,
+    sem_h, sem_sa, sem_tx, sem_po, sem_ca, sem_cb,
     st_s,        # (LB, 8) i32 SMEM scratch — per-lane scan state:
                  # [i, nm, spare, h, lo, cnt, probe_done, spare]
     *,
@@ -142,6 +150,7 @@ def _scan_kernel(
     ht_bits: int,
     ht_probes: int,
     n_text: int,
+    phases: str = "abc",
 ):
     """Phase-synchronous scan: all LB lanes advance one MMP step per
     outer iteration, and each phase (hash probe, SA window, candidate
@@ -159,12 +168,11 @@ def _scan_kernel(
     for lane in range(LB):
         for j in range(4):
             meta_ref[lane, j] = I32(0)
-        for j in range(M):
-            qpos_ref[lane, j] = I32(0)
         for j in range(8):
             st_s[lane, j] = I32(0)
     vld_ref[...] = jnp.zeros(vld_ref.shape, jnp.int32)
-    gpos_ref[...] = jnp.zeros(gpos_ref.shape, jnp.int32)
+    gtxp_ref[...] = jnp.zeros(gtxp_ref.shape, jnp.int32)
+    gpin_ref[...] = jnp.zeros(gpin_ref.shape, jnp.int32)
 
     def lane_act(amask, lane):
         return ((amask >> lane) & 1) == 1
@@ -218,18 +226,23 @@ def _scan_kernel(
         act = lane_act(amask, lane)
         i = st_s[lane, 0]
         ccnt = jnp.minimum(st_s[lane, 5], C)
-        for c in range(C):
-            @pl.when(act & (c < ccnt))
+        # chunked predication: the common case is 1-2 candidates, so
+        # skip whole 8-candidate blocks of scalar work at once
+        for cc in range(0, C, 8):
+            @pl.when(act & (cc < ccnt))
             def _():
-                g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
-                spos = g - i + ROW  # front SEP row keeps this >= 0
-                trow = spos >> 7
-                t_al = (trow >> 3) << 3
-                pltpu.make_async_copy(
-                    text_ref.at[pl.ds(t_al, 16), :],
-                    cand_s.at[pl.ds(c * 16, 16), :],
-                    sem_c.at[c],
-                ).start()
+                for c in range(cc, min(cc + 8, C)):
+                    @pl.when(c < ccnt)
+                    def _():
+                        g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                        spos = g - i + ROW  # front SEP row keeps >= 0
+                        trow = spos >> 7
+                        t_al = (trow >> 3) << 3
+                        pltpu.make_async_copy(
+                            text_ref.at[pl.ds(t_al, 16), :],
+                            cand_s.at[pl.ds(c * 16, 16), :],
+                            sem_c.at[c],
+                        ).start()
 
     def process_lane(lane, amask, cand_s, al_s, sem_c):
         act = lane_act(amask, lane)
@@ -238,33 +251,36 @@ def _scan_kernel(
         ccnt = jnp.minimum(cnt, C)
         over = cnt > C
         ln = lens_ref[lane, 0]
-        for c in range(C):
-            @pl.when(act & (c < ccnt))
+        for cc in range(0, C, 8):
+            @pl.when(act & (cc < ccnt))
             def _():
-                g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
-                spos = g - i + ROW
-                trow = spos >> 7
-                t_al = (trow >> 3) << 3
-                rot = spos & 127
-                pltpu.make_async_copy(
-                    text_ref.at[pl.ds(t_al, 16), :],
-                    cand_s.at[pl.ds(c * 16, 16), :],
-                    sem_c.at[c],
-                ).wait()
-                tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
-                                16 - (trow & 7), 0)
-                # window[j] = raw[rot + j]; rows pair A covers j in
-                # [0,128), pair B covers [128,256)
-                pair_s[:, :ROW] = tr[0:1, :]
-                pair_s[:, ROW:] = tr[1:2, :]
-                al_s[c : c + 1, 0:ROW] = pltpu.roll(
-                    pair_s[...], 256 - rot, 1
-                )[:, 0:ROW]
-                pair_s[:, :ROW] = tr[1:2, :]
-                pair_s[:, ROW:] = tr[2:3, :]
-                al_s[c : c + 1, ROW:WINW] = pltpu.roll(
-                    pair_s[...], 256 - rot, 1
-                )[:, 0:ROW]
+                for c in range(cc, min(cc + 8, C)):
+                    @pl.when(c < ccnt)
+                    def _():
+                        g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                        spos = g - i + ROW
+                        trow = spos >> 7
+                        t_al = (trow >> 3) << 3
+                        rot = spos & 127
+                        pltpu.make_async_copy(
+                            text_ref.at[pl.ds(t_al, 16), :],
+                            cand_s.at[pl.ds(c * 16, 16), :],
+                            sem_c.at[c],
+                        ).wait()
+                        tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
+                                        16 - (trow & 7), 0)
+                        # window[j] = raw[rot + j]; rows pair A covers
+                        # j in [0,128), pair B covers [128,256)
+                        pair_s[:, :ROW] = tr[0:1, :]
+                        pair_s[:, ROW:] = tr[1:2, :]
+                        al_s[c : c + 1, 0:ROW] = pltpu.roll(
+                            pair_s[...], 256 - rot, 1
+                        )[:, 0:ROW]
+                        pair_s[:, :ROW] = tr[1:2, :]
+                        pair_s[:, ROW:] = tr[2:3, :]
+                        al_s[c : c + 1, ROW:WINW] = pltpu.roll(
+                            pair_s[...], 256 - rot, 1
+                        )[:, 0:ROW]
 
         @pl.when(act)
         def _():
@@ -297,14 +313,15 @@ def _scan_kernel(
                 for m in range(M):
                     @pl.when(nm == m)
                     def _():
-                        gpos_ref[lane : lane + 1, m * C : (m + 1) * C] = (
-                            jnp.clip(saal_s[lane : lane + 1, :C], 0,
-                                     n_text - 1)
+                        gtxp_ref[lane : lane + 1, m * C : (m + 1) * C] = (
+                            txal_s[lane : lane + 1, :C]
+                        )
+                        gpin_ref[lane : lane + 1, m * C : (m + 1) * C] = (
+                            poal_s[lane : lane + 1, :C] - i
                         )
                         vld_ref[lane : lane + 1, m * C : (m + 1) * C] = (
                             best.astype(jnp.int32)[None, :]
                         )
-                qpos_ref[lane, nm] = i
                 meta_ref[lane, 2] = jnp.where(
                     nm == 0, lstar, meta_ref[lane, 2]
                 )
@@ -317,6 +334,12 @@ def _scan_kernel(
 
     def obody(carry):
         s, amask = carry
+        if "a" not in phases:  # debug: phase bisection (no probes)
+            for lane in range(LB):
+                @pl.when(lane_act(amask, lane))
+                def _():
+                    st_s[lane, 0] = st_s[lane, 0] + 1
+            return (s + 1, amask)
 
         # ---- Phase A: hash probes, batched across lanes ----
         for lane in range(LB):
@@ -354,63 +377,71 @@ def _scan_kernel(
 
         jax.lax.while_loop(pcond, pbody, (amask, I32(0)))
 
-        # ---- Phase B: SA windows (cnt > 1) / direct position (cnt == 1,
-        # the packed table stores sa[lo] so no fetch is needed) ----
-        for lane in range(LB):
-            @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 1))
-            def _():
-                lo = st_s[lane, 4]
-                srow = lo >> 7
-                s_al = (srow >> 3) << 3
-                pltpu.make_async_copy(
-                    sa_ref.at[pl.ds(s_al, 16), :],
-                    safetch_s.at[pl.ds(lane * 16, 16), :],
-                    sem_sa.at[lane],
-                ).start()
-        for lane in range(LB):
-            act = lane_act(amask, lane)
-
-            @pl.when(act & (st_s[lane, 5] > 1))
-            def _():
-                lo = st_s[lane, 4]
-                srow = lo >> 7
-                s_al = (srow >> 3) << 3
-                pltpu.make_async_copy(
-                    sa_ref.at[pl.ds(s_al, 16), :],
-                    safetch_s.at[pl.ds(lane * 16, 16), :],
-                    sem_sa.at[lane],
-                ).wait()
-                sr = pltpu.roll(safetch_s[lane * 16 : lane * 16 + 16, :],
-                                16 - (srow & 7), 0)
-                pair_s[:, :ROW] = sr[0:1, :]
-                pair_s[:, ROW:] = sr[1:2, :]
-                saal_s[lane : lane + 1, :] = pltpu.roll(
-                    pair_s[...], 256 - (lo & 127), 1
-                )
-
-            @pl.when(act & (st_s[lane, 5] == 1))
-            def _():
-                saal_s[lane : lane + 1, :] = jnp.full(
-                    (1, 2 * ROW), st_s[lane, 4], jnp.int32
-                )
+        # ---- Phase B: SA-interval windows — positions PLUS the
+        # SA-ordered companion arrays (transcript id, in-transcript
+        # position), so the XLA post-pass needs no element gathers ----
+        if "b" in phases:
+            triples = (
+                (sa_ref, safetch_s, sem_sa, saal_s),
+                (satxp_ref, txfetch_s, sem_tx, txal_s),
+                (sapos_ref, pofetch_s, sem_po, poal_s),
+            )
+            for lane in range(LB):
+                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 0))
+                def _():
+                    lo = st_s[lane, 4]
+                    srow = lo >> 7
+                    s_al = (srow >> 3) << 3
+                    for src, dst, sem, _al in triples:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(s_al, 16), :],
+                            dst.at[pl.ds(lane * 16, 16), :],
+                            sem.at[lane],
+                        ).start()
+            for lane in range(LB):
+                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 0))
+                def _():
+                    lo = st_s[lane, 4]
+                    srow = lo >> 7
+                    s_al = (srow >> 3) << 3
+                    for src, dst, sem, al in triples:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(s_al, 16), :],
+                            dst.at[pl.ds(lane * 16, 16), :],
+                            sem.at[lane],
+                        ).wait()
+                        sr = pltpu.roll(
+                            dst[lane * 16 : lane * 16 + 16, :],
+                            16 - (srow & 7), 0)
+                        pair_s[:, :ROW] = sr[0:1, :]
+                        pair_s[:, ROW:] = sr[1:2, :]
+                        al[lane : lane + 1, :] = pltpu.roll(
+                            pair_s[...], 256 - (lo & 127), 1
+                        )
 
         # ---- Phase C: candidate windows, two banks pipelined over
         # lanes (issue lane n's fetches while lane n-2's are processed)
-        banks = (
-            (canda_s, ala_s, sem_ca),
-            (candb_s, alb_s, sem_cb),
-        )
-        issue_cands(0, amask, banks[0][0], banks[0][2])
-        if LB > 1:
-            issue_cands(1, amask, banks[1][0], banks[1][2])
-        for lane in range(2, LB):
-            b = banks[lane & 1]
-            process_lane(lane - 2, amask, b[0], b[1], b[2])
-            issue_cands(lane, amask, b[0], b[2])
-        for lane in (LB - 2, LB - 1):
-            if lane >= 0:
+        if "c" in phases:
+            banks = (
+                (canda_s, ala_s, sem_ca),
+                (candb_s, alb_s, sem_cb),
+            )
+            issue_cands(0, amask, banks[0][0], banks[0][2])
+            if LB > 1:
+                issue_cands(1, amask, banks[1][0], banks[1][2])
+            for lane in range(2, LB):
                 b = banks[lane & 1]
-                process_lane(lane, amask, b[0], b[1], b[2])
+                process_lane(lane - 2, amask, b[0], b[1], b[2])
+                issue_cands(lane, amask, b[0], b[2])
+            for lane in (LB - 2, LB - 1):
+                if lane >= 0:
+                    b = banks[lane & 1]
+                    process_lane(lane, amask, b[0], b[1], b[2])
+        else:
+            for lane in range(LB):
+                @pl.when(lane_act(amask, lane))
+                def _():
+                    st_s[lane, 0] = st_s[lane, 0] + 1
 
         # ---- next-step active mask ----
         nmask = I32(0)
@@ -440,7 +471,7 @@ def _scan_kernel(
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
-                     "ht_probes", "n_text", "interpret"),
+                     "ht_probes", "n_text", "interpret", "phases"),
 )
 def mmp_scan_pallas(
     codes_i32,   # (B2, WINW) i32 lane codes, SEP padded
@@ -448,6 +479,8 @@ def mmp_scan_pallas(
     lens,        # (B2,) i32
     text_rows,   # (Rt, 128) i32 codes rows (1 front SEP row + text + pad)
     sa_rows,     # (Rs, 128) i32 sentinel-padded SA rows
+    satxp_rows,  # (Rs, 128) i32 txp_of_pos[sa] rows
+    sapos_rows,  # (Rs, 128) i32 (sa - txp_offset) rows
     ht_rows,     # (S/8, 128) i32
     *,
     k: int,
@@ -458,6 +491,7 @@ def mmp_scan_pallas(
     ht_probes: int,
     n_text: int = 0,
     interpret: bool = False,
+    phases: str = "abc",
 ):
     B2 = codes_i32.shape[0]
     C, M = cand_cap, max_mmps
@@ -467,8 +501,9 @@ def mmp_scan_pallas(
         _scan_kernel,
         k=k, C=C, M=M, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, n_text=n_text,
+        phases=phases,
     )
-    gpos, vld, qpos, meta = pl.pallas_call(
+    gtxp, gpin, vld, meta = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -481,27 +516,33 @@ def mmp_scan_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((LB, M * C), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LB, M * C), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, M), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((LB, M * C), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((LB, 4), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B2, M * C), jnp.int32),
             jax.ShapeDtypeStruct((B2, M * C), jnp.int32),
-            jax.ShapeDtypeStruct((B2, M), jnp.int32),
+            jax.ShapeDtypeStruct((B2, M * C), jnp.int32),
             jax.ShapeDtypeStruct((B2, 4), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((LB * 8, 128), jnp.int32),    # htrow_s
             pltpu.VMEM((LB * 16, 128), jnp.int32),   # safetch_s
+            pltpu.VMEM((LB * 16, 128), jnp.int32),   # txfetch_s
+            pltpu.VMEM((LB * 16, 128), jnp.int32),   # pofetch_s
             pltpu.VMEM((LB, 256), jnp.int32),        # saal_s
+            pltpu.VMEM((LB, 256), jnp.int32),        # txal_s
+            pltpu.VMEM((LB, 256), jnp.int32),        # poal_s
             pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # canda_s
             pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # candb_s
             pltpu.VMEM((1, 256), jnp.int32),         # pair_s
@@ -509,13 +550,16 @@ def mmp_scan_pallas(
             pltpu.VMEM((cand_cap, WINW), jnp.int32),  # alb_s
             pltpu.SemaphoreType.DMA((LB,)),          # sem_h
             pltpu.SemaphoreType.DMA((LB,)),          # sem_sa
+            pltpu.SemaphoreType.DMA((LB,)),          # sem_tx
+            pltpu.SemaphoreType.DMA((LB,)),          # sem_po
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_ca
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cb
             pltpu.SMEM((LB, 8), jnp.int32),          # st_s
         ],
         interpret=interpret,
-    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows, ht_rows)
-    return gpos, vld, qpos, meta
+    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows,
+      satxp_rows, sapos_rows, ht_rows)
+    return gtxp, gpin, vld, meta
 
 
 def map_oriented_lanes_pallas(
@@ -530,6 +574,8 @@ def map_oriented_lanes_pallas(
     ht_bits: int,
     ht_probes: int,
     interpret: bool = False,
+    phases: str = "abc",
+    postpass: bool = True,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -544,21 +590,23 @@ def map_oriented_lanes_pallas(
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
-        text_pallas["ht_rows"], text_pallas["txp_of_pos"],
-        text_pallas["txp_offsets"],
+        text_pallas["satxp_rows"], text_pallas["sapos_rows"],
+        text_pallas["ht_rows"],
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
         n_text=text_pallas["n_text"], interpret=interpret,
+        phases=phases, postpass=postpass,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
-                     "ht_probes", "n_text", "interpret"),
+                     "ht_probes", "n_text", "interpret", "phases",
+                     "postpass"),
 )
 def _map_lanes_pallas_jit(
-    codes, lens, text_rows, sa_rows, ht_rows, txp_of_pos, txp_offsets,
+    codes, lens, text_rows, sa_rows, satxp_rows, sapos_rows, ht_rows,
     *,
     k: int,
     cand_cap: int,
@@ -568,6 +616,8 @@ def _map_lanes_pallas_jit(
     ht_probes: int,
     n_text: int,
     interpret: bool,
+    phases: str = "abc",
+    postpass: bool = True,
 ):
     from .kernels import NEG
 
@@ -589,25 +639,27 @@ def _map_lanes_pallas_jit(
         _pack_words(codes_pad, sub=0), jnp.int32
     )
 
-    gpos, vld, qpos, meta = mmp_scan_pallas(
+    gtxp, gpin, vld, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, olens,
-        text_rows, sa_rows, ht_rows,
+        text_rows, sa_rows, satxp_rows, sapos_rows, ht_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
-        n_text=n_text, interpret=interpret,
+        n_text=n_text, interpret=interpret, phases=phases,
     )
+    if not postpass:  # debug: scan-only timing
+        return {"gtxp": gtxp, "gpin": gpin, "vld": vld, "meta": meta}
     C, M = cand_cap, max_mmps
-    gpos = gpos.reshape(B2, M, C)
+    m_txp = gtxp.reshape(B2, M, C)
+    m_pos = gpin.reshape(B2, M, C)
     m_vld = vld.reshape(B2, M, C).astype(bool)
     nm = meta[:, 0]
     overflow = meta[:, 1].astype(bool)
     mlen = meta[:, 2]
 
-    # implied loci (XLA): txp via position map, pos = g - offset - qpos
-    m_txp = txp_of_pos[gpos]
-    m_pos = gpos - txp_offsets[m_txp] - qpos[:, :, None]
-
-    # intersection + dedupe + sort: identical to kernels.map_oriented_lanes
+    # intersection + dedupe + sort — the kernel already emitted
+    # (transcript, in-transcript position) per candidate, so this is
+    # pure arithmetic + one multi-operand sort: NO element gathers
+    # (XLA TPU gathers run element-at-a-time and dominated this pass)
     hvalid = m_vld[:, 0, :]
     htxp = m_txp[:, 0, :]
     hpos = m_pos[:, 0, :]
@@ -620,14 +672,14 @@ def _map_lanes_pallas_jit(
         ).any(axis=2)
         hvalid = hvalid & jnp.where(has_m[:, None], match, True)
 
+    # lexicographic (valid-txp, pos) sort with payloads riding the sort
+    # network (replaces two argsorts + three random gathers); (txp, pos)
+    # pairs are distinct per lane so stability ties never matter
     key_t = jnp.where(hvalid, htxp, NEG)
-    ord1 = jnp.argsort(hpos, axis=1, stable=True)
-    t1 = jnp.take_along_axis(key_t, ord1, axis=1)
-    ord2 = jnp.argsort(t1, axis=1, stable=True)
-    order = jnp.take_along_axis(ord1, ord2, axis=1)
-    s_txp = jnp.take_along_axis(htxp, order, axis=1)
-    s_pos = jnp.take_along_axis(hpos, order, axis=1)
-    s_vld = jnp.take_along_axis(hvalid, order, axis=1)
+    _, s_pos, s_txp, s_vld = jax.lax.sort(
+        (key_t, hpos, htxp, hvalid), dimension=1, num_keys=2,
+        is_stable=True,
+    )
     first = jnp.ones_like(s_vld)
     first = first.at[:, 1:].set(
         ~((s_txp[:, 1:] == s_txp[:, :-1]) & s_vld[:, :-1])
@@ -646,8 +698,10 @@ def _map_lanes_pallas_jit(
 
 def prepare_pallas_text(index, cand_cap: int) -> dict:
     """Device arrays for the Pallas path: i32 text/SA rows (one front SEP
-    row keeps read-aligned window starts non-negative) and 8-bucket hash
-    rows."""
+    row keeps read-aligned window starts non-negative), SA-ordered
+    companion rows (transcript id and in-transcript position per suffix,
+    so the kernel emits loci directly and the post-pass never gathers),
+    and 8-bucket hash rows."""
     if index.kmer_ht is None:
         raise ValueError("pallas mapping path requires a k-mer table (k >= 17)")
     n = index.text_len
@@ -657,13 +711,15 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     sarows = -(-n // ROW) + PAD_ROWS
     sa = np.full((sarows * ROW,), n - 1, dtype=np.int32)
     sa[:n] = index.sa
+    txp_of_pos = np.asarray(index.txp_of_pos, np.int32)
+    txp_offsets = np.asarray(index.txp_offsets, np.int32)
+    satxp = txp_of_pos[sa]
+    sapos = sa - txp_offsets[satxp]
     return {
         "text_rows": jnp.asarray(text.reshape(-1, ROW)),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
-        "ht_rows": jnp.asarray(
-            pack_kmer_table_rows(index.kmer_ht, index.sa)
-        ),
-        "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
-        "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
+        "satxp_rows": jnp.asarray(satxp.reshape(-1, ROW)),
+        "sapos_rows": jnp.asarray(sapos.reshape(-1, ROW)),
+        "ht_rows": jnp.asarray(pack_kmer_table_rows(index.kmer_ht)),
         "n_text": n,
     }
