@@ -576,6 +576,7 @@ def map_oriented_lanes_pallas(
     interpret: bool = False,
     phases: str = "abc",
     postpass: bool = True,
+    uniform_len: int | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -583,6 +584,10 @@ def map_oriented_lanes_pallas(
     path (lane build, scan kernel, post-pass) runs under ONE jit —
     eager per-op dispatch costs ~25ms/op of round-trip latency on a
     tunneled device, which dwarfed the kernel itself.
+
+    `uniform_len`: when every read in the batch has this length (the
+    normal Illumina case; the caller checks), the reverse-complement
+    lane build is a static flip instead of a (B, L) element gather.
     """
     B, L = codes.shape
     if L > WINR:
@@ -595,7 +600,7 @@ def map_oriented_lanes_pallas(
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
         n_text=text_pallas["n_text"], interpret=interpret,
-        phases=phases, postpass=postpass,
+        phases=phases, postpass=postpass, uniform_len=uniform_len,
     )
 
 
@@ -603,7 +608,7 @@ def map_oriented_lanes_pallas(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "phases",
-                     "postpass"),
+                     "postpass", "uniform_len"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, satxp_rows, sapos_rows, ht_rows,
@@ -618,16 +623,30 @@ def _map_lanes_pallas_jit(
     interpret: bool,
     phases: str = "abc",
     postpass: bool = True,
+    uniform_len: int | None = None,
 ):
     from .kernels import NEG
 
     B, L = codes.shape
+
+    # complement arithmetically (A<->T, C<->G, N(4) fixed) — a 5-entry
+    # table lookup would be an elementwise gather, slow on TPU
+    def compl(x):
+        return jnp.where(x < 4, jnp.uint8(3) - x, jnp.uint8(4))
+
     # oriented lanes, SEP padded to WINW, as i32
-    comp = jnp.array([3, 2, 1, 0, 4], dtype=jnp.uint8)
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = lens.astype(jnp.int32)[:, None] - 1 - j
-    rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
-    rc = jnp.where(src >= 0, comp[rc], jnp.uint8(4))
+    if uniform_len is not None:
+        # static flip — no per-element gather
+        rc = compl(codes[:, :uniform_len][:, ::-1])
+        if uniform_len < L:
+            rc = jnp.concatenate(
+                [rc, jnp.full((B, L - uniform_len), 4, jnp.uint8)], axis=1
+            )
+    else:
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        src = lens.astype(jnp.int32)[:, None] - 1 - j
+        rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
+        rc = jnp.where(src >= 0, compl(rc), jnp.uint8(4))
     oc = jnp.concatenate([codes, rc], axis=0)
     B2 = 2 * B
     pad = jnp.full((B2, WINW - L), 4, jnp.uint8)

@@ -247,6 +247,9 @@ class DeviceMapperBackend:
                 self._pallas_text = prepare_pallas_text(
                     self._index, opts.hit_capacity
                 )
+            live = lens[lens > 0]
+            ul = (int(live[0])
+                  if live.size and (live == live[0]).all() else None)
             hits = map_oriented_lanes_pallas(
                 self._pallas_text,
                 jnp.asarray(codes), jnp.asarray(lens),
@@ -257,6 +260,7 @@ class DeviceMapperBackend:
                 ht_bits=self.ht_bits,
                 ht_probes=self.ht_probes,
                 interpret=(jax.default_backend() == "cpu"),
+                uniform_len=ul,
             )
         else:
             lanes = make_oriented_lanes(
