@@ -27,8 +27,8 @@ import numpy as np
 NUM_TXPS = int(os.environ.get("BENCH_TXPS", 20000))
 TXP_LEN = int(os.environ.get("BENCH_TXP_LEN", 1000))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
-BATCH = int(os.environ.get("BENCH_BATCH", 16384))
-NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
+BATCH = int(os.environ.get("BENCH_BATCH", 65536))
+NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 4))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
