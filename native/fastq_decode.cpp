@@ -59,6 +59,7 @@ struct Reader {
                 *s = buf.data() + pos;
                 *n = size_t(nl - (buf.data() + pos));
                 pos = size_t(nl - buf.data()) + 1;
+                if (*n && (*s)[*n - 1] == '\r') --*n;  // CRLF input
                 return true;
             }
             if (eof) {
@@ -66,6 +67,7 @@ struct Reader {
                     *s = buf.data() + pos;
                     *n = len - pos;
                     pos = len;
+                    if (*n && (*s)[*n - 1] == '\r') --*n;
                     return true;
                 }
                 return false;
@@ -131,7 +133,34 @@ int64_t sf_fastq_next_batch(int64_t h, uint8_t* codes, int32_t* lens,
         int64_t L = int64_t(sl) < maxlen ? int64_t(sl) : maxlen;
         for (int64_t i = 0; i < L; ++i) row[i] = g_lut[uint8_t(s[i])];
         if (L < maxlen) std::memset(row + L, 4, size_t(maxlen - L));
-        lens[n] = int32_t(L);
+        // true (unclipped) length so the caller can detect reads longer
+        // than the static batch width and re-pad instead of truncating
+        lens[n] = int32_t(sl);
+        if (!r->line(&s, &sl)) return -2;  // '+'
+        if (!r->line(&s, &sl)) return -2;  // quals
+        ++n;
+    }
+    return n;
+}
+
+// Skip `count` FASTQ records (same record grammar as next_batch).
+// Returns the number actually skipped, or -1/-2 on bad handle/malformed.
+int64_t sf_fastq_skip(int64_t h, int64_t count) {
+    Reader* r;
+    {
+        std::lock_guard<std::mutex> lk(g_mu);
+        auto it = g_readers.find(h);
+        if (it == g_readers.end()) return -1;
+        r = it->second;
+    }
+    int64_t n = 0;
+    const char* s;
+    size_t sl;
+    while (n < count) {
+        if (!r->line(&s, &sl)) break;      // header (or EOF)
+        if (sl == 0) continue;
+        if (s[0] != '@') return -2;
+        if (!r->line(&s, &sl)) return -2;  // sequence
         if (!r->line(&s, &sl)) return -2;  // '+'
         if (!r->line(&s, &sl)) return -2;  // quals
         ++n;

@@ -8,12 +8,20 @@ against device compute.
 
 A native C++ decoder (native/fastq_decode.cpp, loaded via ctypes) is used
 when available; the numpy fallback is pure Python + vectorized numpy.
+
+Read length handling: the static batch width starts from a probe of the
+file's first reads, but is NOT trusted as a bound.  Decoders report true
+read lengths; when a longer read appears mid-file the stream restarts
+from that read with a wider static width (a re-pad: one extra decode pass
+over the already-consumed prefix plus one device recompile) instead of
+silently truncating.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import gzip
+import logging
 import threading
 import queue as _queue
 from typing import Iterator
@@ -22,6 +30,8 @@ import numpy as np
 
 from .. import dna
 from .native import native_decode_fastq
+
+log = logging.getLogger("sailfish_tpu")
 
 
 @dataclasses.dataclass
@@ -50,41 +60,142 @@ def _open_maybe_gz(path: str):
     return open(path, "rb", buffering=1 << 22)
 
 
-def _iter_fastq_seq_blocks(path: str, reads_per_block: int) -> Iterator[list[bytes]]:
+def _iter_fastq_seq_blocks(
+    path: str, reads_per_block: int, skip_reads: int = 0
+) -> Iterator[list[bytes]]:
     """Yield lists of raw sequence lines (bytes, no newline)."""
     block: list[bytes] = []
+    to_skip = skip_reads
     with _open_maybe_gz(path) as fh:
         while True:
             header = fh.readline()
             if not header:
                 break
+            if header.strip() == b"":
+                continue
+            if not header.startswith(b"@"):
+                raise IOError(f"malformed FASTQ record in {path}")
             seq = fh.readline().rstrip()
             fh.readline()  # '+'
             fh.readline()  # quals
+            if to_skip > 0:
+                to_skip -= 1
+                continue
             block.append(seq)
             if len(block) >= reads_per_block:
                 yield block
                 block = []
+    if to_skip > 0:
+        raise IOError(
+            f"{path}: cannot skip {skip_reads} reads "
+            f"(file has only {skip_reads - to_skip})"
+        )
     if block:
         yield block
 
 
 def _encode_block(block: list[bytes], max_len: int) -> FastqBatch:
+    """Encode raw sequences into a fixed-width batch.  `lens` carries the
+    TRUE lengths (possibly > max_len) so the caller can detect overflow;
+    codes are clipped to the batch width."""
     n = len(block)
-    lens = np.fromiter((min(len(s), max_len) for s in block), dtype=np.int32, count=n)
+    true_lens = np.fromiter((len(s) for s in block), dtype=np.int32, count=n)
+    clipped = np.minimum(true_lens, max_len)
     joined = b"".join(s[:max_len] for s in block)
     flat = dna.encode(joined)
     codes = np.full((n, max_len), dna.SEP, dtype=np.uint8)
     # scatter via split positions
-    ends = np.cumsum(lens)
-    starts = ends - lens
+    ends = np.cumsum(clipped)
+    starts = ends - clipped
     # vectorized ragged copy: build row/col index arrays
     total = int(ends[-1]) if n else 0
     if total:
-        rows = np.repeat(np.arange(n), lens)
-        cols = np.arange(total) - np.repeat(starts, lens)
+        rows = np.repeat(np.arange(n), clipped)
+        cols = np.arange(total) - np.repeat(starts, clipped)
         codes[rows, cols] = flat
-    return FastqBatch(codes=codes, lens=lens)
+    return FastqBatch(codes=codes, lens=true_lens)
+
+
+def round_up_len(n: int) -> int:
+    return max(8, (int(n) + 7) // 8 * 8)
+
+
+def _decode_stream(path, batch_size, max_len, skip_reads, use_native):
+    it = None
+    if use_native:
+        it = native_decode_fastq(path, batch_size, max_len, skip_reads)
+    if it is None:
+        it = (
+            _encode_block(b, max_len)
+            for b in _iter_fastq_seq_blocks(path, batch_size, skip_reads)
+        )
+    return it
+
+
+class _RepadDecoder:
+    """Batch stream over one file whose static width can grow: when a
+    read longer than the current max_len appears, the stream restarts
+    from that read's position with a wider width (the already-yielded
+    prefix was unaffected — every read in it fit the old width)."""
+
+    def __init__(self, path, batch_size, max_len, use_native=True):
+        self.path = path
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.use_native = use_native
+        self.yielded = 0
+        self._it = _decode_stream(path, batch_size, max_len, 0, use_native)
+
+    def next_batch(self) -> FastqBatch | None:
+        """Next batch, or None at EOF.  The returned batch may carry
+        lens > max_len — the caller decides when/how to restart (for
+        paired files both mates restart together)."""
+        b = next(self._it, None)
+        return b
+
+    def overflow(self, b: FastqBatch) -> int:
+        m = int(b.lens.max()) if b.count else 0
+        return m if m > self.max_len else 0
+
+    def restart(self, new_max_len: int):
+        """Re-open at the current position with a wider static width.
+        The pending (overflowed) batch is re-decoded on the next call."""
+        close = getattr(self._it, "close", None)
+        if close:
+            close()
+        self.max_len = new_max_len
+        self._it = _decode_stream(
+            self.path, self.batch_size, new_max_len, self.yielded,
+            self.use_native,
+        )
+
+    def advance(self, b: FastqBatch):
+        self.yielded += b.count
+
+    def close(self):
+        close = getattr(self._it, "close", None)
+        if close:
+            close()
+
+
+def _run_producer(q: _queue.Queue, fn):
+    """Run fn (which puts batches on q) and propagate any exception to
+    the consumer instead of letting a daemon thread die silently."""
+    try:
+        fn()
+        q.put(None)
+    except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+        q.put(e)
+
+
+def _consume(q: _queue.Queue):
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def iter_fastq_batches(
@@ -93,64 +204,79 @@ def iter_fastq_batches(
 ) -> Iterator[FastqBatch]:
     """Stream single-end batches with background decode."""
 
-    def produce(q: _queue.Queue):
+    def produce():
+        dec = _RepadDecoder(path, batch_size, max_len, use_native)
         try:
-            it = native_decode_fastq(path, batch_size, max_len) if use_native else None
-            if it is None:
-                it = (
-                    _encode_block(b, max_len)
-                    for b in _iter_fastq_seq_blocks(path, batch_size)
-                )
-            for batch in it:
-                q.put(batch)
+            while True:
+                b = dec.next_batch()
+                if b is None:
+                    break
+                over = dec.overflow(b)
+                if over:
+                    new_len = round_up_len(over)
+                    log.warning(
+                        "%s: read of length %d exceeds batch width %d at "
+                        "read %d; re-padding to %d (re-decoding prefix)",
+                        path, over, dec.max_len, dec.yielded, new_len,
+                    )
+                    dec.restart(new_len)
+                    continue
+                dec.advance(b)
+                q.put(b)
         finally:
-            q.put(None)
+            dec.close()
 
     q: _queue.Queue = _queue.Queue(maxsize=prefetch)
-    t = threading.Thread(target=produce, args=(q,), daemon=True)
+    t = threading.Thread(
+        target=_run_producer, args=(q, produce), daemon=True
+    )
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        yield item
+    yield from _consume(q)
 
 
 def iter_paired_fastq_batches(
     path1: str, path2: str, batch_size: int, max_len: int, prefetch: int = 2,
     use_native: bool = True,
 ) -> Iterator[tuple[FastqBatch, FastqBatch]]:
-    """Stream paired-end batches (mate1, mate2) with background decode."""
+    """Stream paired-end batches (mate1, mate2) with background decode.
+    Both mates share one static width; a long read in either file
+    restarts both streams at the same fragment position."""
 
-    def produce(q: _queue.Queue):
+    def produce():
+        d1 = _RepadDecoder(path1, batch_size, max_len, use_native)
+        d2 = _RepadDecoder(path2, batch_size, max_len, use_native)
         try:
-            it1 = it2 = None
-            if use_native:
-                it1 = native_decode_fastq(path1, batch_size, max_len)
-                it2 = native_decode_fastq(path2, batch_size, max_len)
-            if it1 is None or it2 is None:
-                it1 = (
-                    _encode_block(b, max_len)
-                    for b in _iter_fastq_seq_blocks(path1, batch_size)
-                )
-                it2 = (
-                    _encode_block(b, max_len)
-                    for b in _iter_fastq_seq_blocks(path2, batch_size)
-                )
-            for b1, b2 in zip(it1, it2):
-                if b1.count != b2.count:
+            while True:
+                b1 = d1.next_batch()
+                b2 = d2.next_batch()
+                if b1 is None and b2 is None:
+                    break
+                if b1 is None or b2 is None or b1.count != b2.count:
                     raise ValueError(
-                        "paired FASTQ files have different read counts"
+                        "paired FASTQ files have different read counts "
+                        f"({path1} vs {path2})"
                     )
+                over = max(d1.overflow(b1), d2.overflow(b2))
+                if over:
+                    new_len = round_up_len(over)
+                    log.warning(
+                        "read of length %d exceeds batch width %d at "
+                        "fragment %d; re-padding to %d (re-decoding prefix)",
+                        over, d1.max_len, d1.yielded, new_len,
+                    )
+                    d1.restart(new_len)
+                    d2.restart(new_len)
+                    continue
+                d1.advance(b1)
+                d2.advance(b2)
                 q.put((b1, b2))
         finally:
-            q.put(None)
+            d1.close()
+            d2.close()
 
     q: _queue.Queue = _queue.Queue(maxsize=prefetch)
-    t = threading.Thread(target=produce, args=(q,), daemon=True)
+    t = threading.Thread(
+        target=_run_producer, args=(q, produce), daemon=True
+    )
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        yield item
+    yield from _consume(q)

@@ -46,6 +46,9 @@ def _lib():
     lib.sf_fastq_next_batch.restype = ctypes.c_int64
     lib.sf_fastq_close.argtypes = [ctypes.c_int64]
     lib.sf_fastq_close.restype = None
+    if hasattr(lib, "sf_fastq_skip"):
+        lib.sf_fastq_skip.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.sf_fastq_skip.restype = ctypes.c_int64
     # suffix array: void sf_build_sa(const uint8* text, int64 n, int32* sa)
     if hasattr(lib, "sf_build_sa"):
         lib.sf_build_sa.argtypes = [
@@ -62,10 +65,19 @@ def native_available() -> bool:
     return _lib() is not None
 
 
-def native_decode_fastq(path: str, batch_size: int, max_len: int):
-    """Iterator of FastqBatch via the C++ decoder, or None if unavailable."""
+def native_decode_fastq(path: str, batch_size: int, max_len: int,
+                        skip_reads: int = 0):
+    """Iterator of FastqBatch via the C++ decoder, or None if unavailable.
+
+    The returned batches carry TRUE read lengths in `lens` (which may
+    exceed `max_len`); the caller is responsible for detecting overflow
+    and re-padding.  Raises IOError on malformed records (instead of
+    treating them as EOF).
+    """
     lib = _lib()
     if lib is None:
+        return None
+    if skip_reads and not hasattr(lib, "sf_fastq_skip"):
         return None
     handle = lib.sf_fastq_open(path.encode())
     if handle < 0:
@@ -75,6 +87,15 @@ def native_decode_fastq(path: str, batch_size: int, max_len: int):
 
     def gen() -> Iterator["FastqBatch"]:
         try:
+            if skip_reads:
+                got = lib.sf_fastq_skip(handle, skip_reads)
+                if got < 0:
+                    raise IOError(f"malformed FASTQ record in {path}")
+                if got != skip_reads:
+                    raise IOError(
+                        f"{path}: cannot skip {skip_reads} reads "
+                        f"(file has only {got})"
+                    )
             while True:
                 codes = np.empty((batch_size, max_len), dtype=np.uint8)
                 lens = np.empty(batch_size, dtype=np.int32)
@@ -85,7 +106,9 @@ def native_decode_fastq(path: str, batch_size: int, max_len: int):
                     batch_size,
                     max_len,
                 )
-                if n <= 0:
+                if n < 0:
+                    raise IOError(f"malformed FASTQ record in {path}")
+                if n == 0:
                     break
                 yield FastqBatch(codes=codes[:n], lens=lens[:n])
         finally:

@@ -367,8 +367,9 @@ def run_quant(opts: QuantOpts, backend: str = "device",
 
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
+            ml = max(_probe_max_len(f1), _probe_max_len(f2))
             for b1, b2 in iter_paired_fastq_batches(
-                f1, f2, opts.batch_size, max_len=_probe_max_len(f1)
+                f1, f2, opts.batch_size, max_len=ml
             ):
                 if not mine():
                     continue
