@@ -100,8 +100,21 @@ class QuantOpts:
                                    # orientation (static capacity); reads
                                    # exceeding it are treated like
                                    # > max_read_occs and dropped
+    hit_capacity_max: int = 0      # escalation capacity: fragments whose
+                                   # kernel pass overflows hit_capacity
+                                   # are re-mapped through a compacted
+                                   # wide pass with this capacity (0 =
+                                   # no escalation).  Set >= max_read_occs
+                                   # to honor the full --maxReadOcc
+                                   # envelope on repetitive references.
     dtype: str = "float64"         # EM dtype ("float64" on CPU golden
                                    # runs; "float32" on TPU)
+
+    def effective_hit_capacity(self) -> int:
+        """The per-probe candidate envelope the device path honors (the
+        escalation capacity when enabled); the numpy oracle applies the
+        same cap so device and oracle agree across the boundary."""
+        return max(self.hit_capacity, self.hit_capacity_max)
 
 
 @dataclass

@@ -31,45 +31,20 @@ _H2_INIT = jnp.uint32(0x9E3779B9)
 _H2_PRIME = jnp.uint32(0x85EBCA6B)
 
 
-def _merge_orientations(fw, rc):
-    """Combine fwd/rc hits of one read: one hit per transcript; on a
-    transcript hit both ways the orientation with the larger first-MMP
-    match length wins (rc only on strictly greater — refimpl.mapper).
-
-    The result is NOT txp-sorted (slots are fw block then rc block):
-    everything downstream is either order-agnostic (cross-product pair
-    matching, per-slot compat masks) or restores order itself (the final
-    label compaction sorts by (dropped, txp) — see merge_and_collapse),
-    so the width-2C multi-operand sort this used to do was pure waste."""
-    B = fw["txp"].shape[0] // 1
-    rc_wins = rc["mlen"] > fw["mlen"]  # (B,)
-
-    def cross(a, b):
-        # for each slot of a: does its txp appear among valid slots of b?
-        return (
-            (a["txp"][:, :, None] == b["txp"][:, None, :])
-            & b["valid"][:, None, :]
-        ).any(axis=2)
-
-    f_in_r = cross(fw, rc)
-    r_in_f = cross(rc, fw)
-    keep_f = fw["valid"] & ~(f_in_r & rc_wins[:, None])
-    keep_r = rc["valid"] & ~(r_in_f & ~rc_wins[:, None])
-
-    txp = jnp.concatenate([fw["txp"], rc["txp"]], axis=1)
-    pos = jnp.concatenate([fw["pos"], rc["pos"]], axis=1)
-    valid = jnp.concatenate([keep_f, keep_r], axis=1)
-    C = fw["txp"].shape[1]
-    fwd = jnp.concatenate(
-        [jnp.ones((B, C), bool), jnp.zeros((B, C), bool)], axis=1
+def _shift_fwd(a, d, fill):
+    """a[:, j+d] with out-of-range slots filled."""
+    B = a.shape[0]
+    return jnp.concatenate(
+        [a[:, d:], jnp.full((B, d), fill, a.dtype)], axis=1
     )
-    return {
-        "txp": txp,
-        "pos": pos,
-        "fwd": fwd,
-        "valid": valid,
-        "overflow": fw["overflow"] | rc["overflow"],
-    }
+
+
+def _shift_back(a, d, fill):
+    """a[:, j-d] with out-of-range slots filled."""
+    B = a.shape[0]
+    return jnp.concatenate(
+        [jnp.full((B, d), fill, a.dtype), a[:, : a.shape[1] - d]], axis=1
+    )
 
 
 def _mix32(x):
@@ -168,76 +143,109 @@ def merge_and_collapse(
 ):
     """Fragment-level merge + label formation.
 
+    Sort-based: the four oriented hit blocks (1fw, 1rc, 2fw, 2rc) are
+    merged with ONE (B, W) lexicographic sort by (txp, side, orient);
+    orientation resolution and left/right pairing are then adjacent-
+    neighbor checks within runs of at most four same-transcript slots —
+    O(W log W) instead of the O(C^2) per-slot cross products this used
+    to do, which is what makes hit capacities near --maxReadOcc viable.
+
     Returns per-fragment arrays:
       label (B, 4C) int32 compacted (PAD sentinel), label_len (B,),
       h1/h2 (B,) uint32, mapped (B,), num_joint (B,), unique_paired (B,),
       frag_len (B,), num_fwd/num_rc (B,), overflow (B,)
     """
     C = cand_cap
-    left = _merge_orientations(hits1_fw, hits1_rc)
-    B = left["txp"].shape[0]
+    B = hits1_fw["txp"].shape[0]
     ign = jnp.asarray(ignore_compat)
+    NOKEY = jnp.int32(-2)  # shift fill that never equals a valid txp
+
+    # rc orientation wins a same-transcript tie only on strictly greater
+    # first-MMP match length (refimpl.mapper semantics)
+    rc1_wins = hits1_rc["mlen"] > hits1_fw["mlen"]  # (B,)
+    if paired_end:
+        rc2_wins = hits2_rc["mlen"] > hits2_fw["mlen"]
+        blocks = (hits1_fw, hits1_rc, hits2_fw, hits2_rc)
+        sides = (0, 0, 1, 1)
+        orients = (0, 1, 0, 1)
+    else:
+        rc2_wins = rc1_wins
+        blocks = (hits1_fw, hits1_rc)
+        sides = (0, 0)
+        orients = (0, 1)
+    W = C * len(blocks)
+
+    txp0 = jnp.concatenate([b["txp"] for b in blocks], axis=1)
+    pos0 = jnp.concatenate([b["pos"] for b in blocks], axis=1)
+    valid0 = jnp.concatenate([b["valid"] for b in blocks], axis=1)
+    side0 = jnp.concatenate(
+        [jnp.full((B, C), s, jnp.int32) for s in sides], axis=1
+    )
+    orient0 = jnp.concatenate(
+        [jnp.full((B, C), o, jnp.int32) for o in orients], axis=1
+    )
+    overflow = blocks[0]["overflow"]
+    for b in blocks[1:]:
+        overflow = overflow | b["overflow"]
+
+    # one lexicographic sort groups each transcript's (<=4) slots as
+    # [L-fw, L-rc, R-fw, R-rc]; invalid slots sink to the back on NEG
+    key0 = jnp.where(valid0, txp0, NEG)
+    txp, side, orient, pos, valid_i = jax.lax.sort(
+        (key0, side0, orient0, pos0, valid0.astype(jnp.int32)),
+        dimension=1, num_keys=3, is_stable=False,
+    )
+    valid = valid_i.astype(bool)
+    fwd = orient == 0
+
+    # orientation resolution: a valid (txp, side) pair appearing in both
+    # orientations occupies adjacent slots (fw first); drop the loser
+    same_ts_next = (
+        valid & _shift_fwd(valid, 1, False)
+        & (txp == _shift_fwd(txp, 1, NOKEY))
+        & (side == _shift_fwd(side, 1, jnp.int32(-1)))
+    )
+    dup_prev = _shift_back(same_ts_next, 1, False)
+    rcw = jnp.where(side == 0, rc1_wins[:, None], rc2_wins[:, None])
+    keep = (
+        valid
+        & jnp.where(same_ts_next, ~rcw, True)
+        & jnp.where(dup_prev, rcw, True)
+    )
 
     if paired_end:
-        right = _merge_orientations(hits2_fw, hits2_rc)
-        # pair: left slot c pairs with right slot of the same transcript
-        match = (
-            (left["txp"][:, :, None] == right["txp"][:, None, :])
-            & right["valid"][:, None, :]
-            & left["valid"][:, :, None]
-        )  # (B, 2C, 2C)
-        paired_l = match.any(axis=2)
-        # after _merge_orientations each transcript owns at most one valid
-        # right slot, so a masked reduction replaces argmax + two gathers
-        mate_pos = jnp.sum(
-            jnp.where(match, right["pos"][:, None, :], 0), axis=2
-        )
-        mate_fwd = jnp.any(match & right["fwd"][:, None, :], axis=2)
-        any_paired = paired_l.any(axis=1)
-
-        W = 4 * C
-        pad2 = ((0, 0), (0, W - 2 * C))
-
-        def padw(x, fill):
-            return jnp.pad(x, pad2, constant_values=fill)
-
         l1 = lens1[:, None]
         l2 = lens2[:, None]
-        # paired representation (left-slot ordered, already txp-sorted)
-        p_txp = padw(left["txp"], 0)
-        p_pos = padw(left["pos"], 0)
-        p_fwd = padw(left["fwd"], False)
-        p_mpos = padw(mate_pos, 0)
-        p_mfwd = padw(mate_fwd, False)
-        p_valid = padw(paired_l, False)
-        p_status = jnp.full((B, W), PAIRED, jnp.int32)
-
-        # orphan representation: left block then right block, UNSORTED —
-        # left-before-right on a shared transcript is guaranteed by block
-        # order + the stable label sort below (like inplace_merge); all
-        # other consumers are per-slot masks, so no sort is needed here
-        o_txp = jnp.concatenate([left["txp"], right["txp"]], axis=1)
-        o_pos = jnp.concatenate([left["pos"], right["pos"]], axis=1)
-        o_fwd = jnp.concatenate([left["fwd"], right["fwd"]], axis=1)
-        o_valid = jnp.concatenate([left["valid"], right["valid"]], axis=1)
-        if not allow_orphans:
-            o_valid = jnp.zeros_like(o_valid)
-        o_status = jnp.concatenate(
-            [jnp.full((B, 2 * C), LEFT, jnp.int32),
-             jnp.full((B, 2 * C), RIGHT, jnp.int32)], axis=1
-        )
-
+        # pairing: a kept left slot's kept right partner (same txp) sits
+        # 1..3 slots ahead (at most two dropped orientation losers and
+        # one partner candidate in between)
+        paired_l = jnp.zeros((B, W), bool)
+        mate_pos = jnp.zeros((B, W), jnp.int32)
+        mate_fwd = jnp.zeros((B, W), bool)
+        for d in (1, 2, 3):
+            kd = (
+                keep & (side == 0)
+                & _shift_fwd(keep, d, False)
+                & (txp == _shift_fwd(txp, d, NOKEY))
+                & (_shift_fwd(side, d, jnp.int32(0)) == 1)
+            )
+            new = kd & ~paired_l
+            mate_pos = jnp.where(new, _shift_fwd(pos, d, 0), mate_pos)
+            mate_fwd = jnp.where(new, _shift_fwd(fwd, d, False), mate_fwd)
+            paired_l = paired_l | kd
+        any_paired = paired_l.any(axis=1)
         ap = any_paired[:, None]
-        txp = jnp.where(ap, p_txp, o_txp)
-        pos = jnp.where(ap, p_pos, o_pos)
-        fwd = jnp.where(ap, p_fwd, o_fwd)
-        mpos = jnp.where(ap, p_mpos, 0)
-        mfwd = jnp.where(ap, p_mfwd, False)
-        valid = jnp.where(ap, p_valid, o_valid)
-        status = jnp.where(ap, p_status, o_status)
-        overflow = left["overflow"] | right["overflow"]
 
-        # compat per slot
+        # a fragment with any paired hit uses exactly its paired (left)
+        # slots; otherwise every kept slot is an orphan
+        orphans = keep if allow_orphans else jnp.zeros_like(keep)
+        valid = jnp.where(ap, paired_l, orphans)
+        status = jnp.where(
+            ap, PAIRED, jnp.where(side == 0, LEFT, RIGHT)
+        ).astype(jnp.int32)
+        mpos = jnp.where(ap & paired_l, mate_pos, 0)
+        mfwd = jnp.where(ap & paired_l, mate_fwd, False)
+
         is_p = status == PAIRED
         pe_ok = _pe_compat(
             pos, fwd, jnp.broadcast_to(l1, (B, W)),
@@ -254,17 +262,14 @@ def merge_and_collapse(
         fend = jnp.maximum(pos + l1, mpos + l2)
         slot_fraglen = fend - fstart
     else:
-        W = 2 * C
-        txp = left["txp"]
-        pos = left["pos"]
-        fwd = left["fwd"]
-        valid = left["valid"]
+        valid = keep
         status = jnp.full((B, W), SINGLE, jnp.int32)
-        overflow = left["overflow"]
         compat = _se_compat_bits(se_flags, status, fwd, ign)
         fwd_hit = fwd
         is_p = jnp.zeros((B, W), bool)
         slot_fraglen = jnp.zeros((B, W), jnp.int32)
+        mpos = jnp.zeros((B, W), jnp.int32)
+        mfwd = jnp.zeros((B, W), bool)
 
     num_joint = valid.sum(axis=1)
     too_many = (num_joint > max_read_occs) | overflow

@@ -117,11 +117,11 @@ def _scan_kernel(
     codes_ref,   # (LB, WINW) i32 VMEM — lane codes (one per elem), SEP pad
     pw_ref,      # (LB, WINW) i32 SMEM — packed 16-base words (A-sub bits)
     lens_ref,    # (LB, 1) i32 SMEM
-    text_ref,    # (Rt, 128) i32 HBM — codes rows, SEP padded, +1 front row
+    text_ref,    # (3*Rt, 128) i32 HBM — FUSED rows: for text block r the
+                 # rows are [codes_r; txp_of_pos_r; pos_in_txp_r], so one
+                 # candidate DMA carries the window AND its identity
     sa_ref,      # (Rs, 128) i32 HBM — SA rows, sentinel padded
-    satxp_ref,   # (Rs, 128) i32 HBM — txp_of_pos[sa] (SA-ordered)
-    sapos_ref,   # (Rs, 128) i32 HBM — sa - txp_offset (SA-ordered)
-    ht_ref,      # (S/8, 128) i32 HBM
+    ht_ref,      # (S/8, 128) i32 HBM — unique k-mers store sa[lo] direct
     gtxp_ref,    # (LB, M*C) i32 VMEM out — candidate transcript ids
     gpin_ref,    # (LB, M*C) i32 VMEM out — candidate in-txp positions
                  # (already minus the query offset)
@@ -129,17 +129,15 @@ def _scan_kernel(
     meta_ref,    # (LB, 4) i32 SMEM out: [nm, overflow, mlen, reserved]
     htrow_s,     # (LB*8, 128) i32 scratch (per-lane hash tiles)
     safetch_s,   # (LB*16, 128) i32 scratch (per-lane SA tiles)
-    txfetch_s,   # (LB*16, 128) i32 scratch (per-lane satxp tiles)
-    pofetch_s,   # (LB*16, 128) i32 scratch (per-lane sapos tiles)
     saal_s,      # (LB, 256) i32 scratch (rotated SA interval positions)
-    txal_s,      # (LB, 256) i32 scratch (rotated satxp)
-    poal_s,      # (LB, 256) i32 scratch (rotated sapos)
-    canda_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank A)
-    candb_s,     # (C*16, 128) i32 scratch (candidate text tiles, bank B)
+    txal_s,      # (LB, 256) i32 scratch (per-candidate transcript ids)
+    poal_s,      # (LB, 256) i32 scratch (per-candidate in-txp positions)
+    canda_s,     # (C*16, 128) i32 scratch (candidate fused tiles, bank A)
+    candb_s,     # (C*16, 128) i32 scratch (candidate fused tiles, bank B)
     pair_s,      # (1, 256) i32 scratch (row-pair staging)
     ala_s,       # (C, WINW) i32 scratch (read-aligned text, bank A)
     alb_s,       # (C, WINW) i32 scratch (read-aligned text, bank B)
-    sem_h, sem_sa, sem_tx, sem_po, sem_ca, sem_cb,
+    sem_h, sem_sa, sem_ca, sem_cb,
     st_s,        # (LB, 8) i32 SMEM scratch — per-lane scan state:
                  # [i, nm, spare, h, lo, cnt, probe_done, spare]
     *,
@@ -234,10 +232,18 @@ def _scan_kernel(
                 for c in range(cc, min(cc + 8, C)):
                     @pl.when(c < ccnt)
                     def _():
-                        g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                        # unique k-mer: the hash bucket stored the text
+                        # position directly (no SA window was fetched)
+                        raw = (st_s[lane, 4] if c == 0 else
+                               saal_s[lane, c])
+                        if c == 0:
+                            raw = jnp.where(
+                                st_s[lane, 5] == 1, raw, saal_s[lane, 0]
+                            )
+                        g = jnp.clip(raw, 0, n_text - 1)
                         spos = g - i + ROW  # front SEP row keeps >= 0
                         trow = spos >> 7
-                        t_al = (trow >> 3) << 3
+                        t_al = ((3 * trow) >> 3) << 3
                         pltpu.make_async_copy(
                             text_ref.at[pl.ds(t_al, 16), :],
                             cand_s.at[pl.ds(c * 16, 16), :],
@@ -257,30 +263,51 @@ def _scan_kernel(
                 for c in range(cc, min(cc + 8, C)):
                     @pl.when(c < ccnt)
                     def _():
-                        g = jnp.clip(saal_s[lane, c], 0, n_text - 1)
+                        raw = (st_s[lane, 4] if c == 0 else
+                               saal_s[lane, c])
+                        if c == 0:
+                            raw = jnp.where(
+                                st_s[lane, 5] == 1, raw, saal_s[lane, 0]
+                            )
+                        g = jnp.clip(raw, 0, n_text - 1)
                         spos = g - i + ROW
                         trow = spos >> 7
-                        t_al = (trow >> 3) << 3
+                        t_al = ((3 * trow) >> 3) << 3
+                        off = 3 * trow - t_al
                         rot = spos & 127
                         pltpu.make_async_copy(
                             text_ref.at[pl.ds(t_al, 16), :],
                             cand_s.at[pl.ds(c * 16, 16), :],
                             sem_c.at[c],
                         ).wait()
+                        # fused rows: after rolling row `off` to the
+                        # front, text blocks trow/trow+1/trow+2 sit at
+                        # rows 0/3/6; their identity companions at +1/+2
                         tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
-                                        16 - (trow & 7), 0)
+                                        16 - off, 0)
                         # window[j] = raw[rot + j]; rows pair A covers
                         # j in [0,128), pair B covers [128,256)
                         pair_s[:, :ROW] = tr[0:1, :]
-                        pair_s[:, ROW:] = tr[1:2, :]
+                        pair_s[:, ROW:] = tr[3:4, :]
                         al_s[c : c + 1, 0:ROW] = pltpu.roll(
                             pair_s[...], 256 - rot, 1
                         )[:, 0:ROW]
-                        pair_s[:, :ROW] = tr[1:2, :]
-                        pair_s[:, ROW:] = tr[2:3, :]
+                        pair_s[:, :ROW] = tr[3:4, :]
+                        pair_s[:, ROW:] = tr[6:7, :]
                         al_s[c : c + 1, ROW:WINW] = pltpu.roll(
                             pair_s[...], 256 - rot, 1
                         )[:, 0:ROW]
+                        # candidate identity (txp, in-txp pos) at text
+                        # position g rides the same fetch: g = window
+                        # start + i, i.e. block trow2 = (spos+i)>>7
+                        spos2 = spos + i
+                        delta = (spos2 >> 7) - trow
+                        idrows = jnp.where(
+                            delta == 0, tr[1:3, :], tr[4:6, :]
+                        )
+                        idal = pltpu.roll(idrows, 128 - (spos2 & 127), 1)
+                        txal_s[lane : lane + 1, c : c + 1] = idal[0:1, 0:1]
+                        poal_s[lane : lane + 1, c : c + 1] = idal[1:2, 0:1]
 
         @pl.when(act)
         def _():
@@ -377,47 +404,42 @@ def _scan_kernel(
 
         jax.lax.while_loop(pcond, pbody, (amask, I32(0)))
 
-        # ---- Phase B: SA-interval windows — positions PLUS the
-        # SA-ordered companion arrays (transcript id, in-transcript
-        # position), so the XLA post-pass needs no element gathers ----
+        # ---- Phase B: SA-interval position windows, needed only for
+        # NON-unique seeds (cnt > 1; unique seeds got their position
+        # straight from the hash bucket in resolve_probe).  Candidate
+        # identity no longer ships from here — it rides each
+        # candidate's fused text fetch in phase C. ----
         if "b" in phases:
-            triples = (
-                (sa_ref, safetch_s, sem_sa, saal_s),
-                (satxp_ref, txfetch_s, sem_tx, txal_s),
-                (sapos_ref, pofetch_s, sem_po, poal_s),
-            )
             for lane in range(LB):
-                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 0))
+                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 1))
                 def _():
                     lo = st_s[lane, 4]
                     srow = lo >> 7
                     s_al = (srow >> 3) << 3
-                    for src, dst, sem, _al in triples:
-                        pltpu.make_async_copy(
-                            src.at[pl.ds(s_al, 16), :],
-                            dst.at[pl.ds(lane * 16, 16), :],
-                            sem.at[lane],
-                        ).start()
+                    pltpu.make_async_copy(
+                        sa_ref.at[pl.ds(s_al, 16), :],
+                        safetch_s.at[pl.ds(lane * 16, 16), :],
+                        sem_sa.at[lane],
+                    ).start()
             for lane in range(LB):
-                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 0))
+                @pl.when(lane_act(amask, lane) & (st_s[lane, 5] > 1))
                 def _():
                     lo = st_s[lane, 4]
                     srow = lo >> 7
                     s_al = (srow >> 3) << 3
-                    for src, dst, sem, al in triples:
-                        pltpu.make_async_copy(
-                            src.at[pl.ds(s_al, 16), :],
-                            dst.at[pl.ds(lane * 16, 16), :],
-                            sem.at[lane],
-                        ).wait()
-                        sr = pltpu.roll(
-                            dst[lane * 16 : lane * 16 + 16, :],
-                            16 - (srow & 7), 0)
-                        pair_s[:, :ROW] = sr[0:1, :]
-                        pair_s[:, ROW:] = sr[1:2, :]
-                        al[lane : lane + 1, :] = pltpu.roll(
-                            pair_s[...], 256 - (lo & 127), 1
-                        )
+                    pltpu.make_async_copy(
+                        sa_ref.at[pl.ds(s_al, 16), :],
+                        safetch_s.at[pl.ds(lane * 16, 16), :],
+                        sem_sa.at[lane],
+                    ).wait()
+                    sr = pltpu.roll(
+                        safetch_s[lane * 16 : lane * 16 + 16, :],
+                        16 - (srow & 7), 0)
+                    pair_s[:, :ROW] = sr[0:1, :]
+                    pair_s[:, ROW:] = sr[1:2, :]
+                    saal_s[lane : lane + 1, :] = pltpu.roll(
+                        pair_s[...], 256 - (lo & 127), 1
+                    )
 
         # ---- Phase C: candidate windows, two banks pipelined over
         # lanes (issue lane n's fetches while lane n-2's are processed)
@@ -477,11 +499,9 @@ def mmp_scan_pallas(
     codes_i32,   # (B2, WINW) i32 lane codes, SEP padded
     pw_i32,      # (B2, WINW) i32 packed words (bits)
     lens,        # (B2,) i32
-    text_rows,   # (Rt, 128) i32 codes rows (1 front SEP row + text + pad)
+    text_rows,   # (3*Rt, 128) i32 FUSED [codes; txp; pos] rows per block
     sa_rows,     # (Rs, 128) i32 sentinel-padded SA rows
-    satxp_rows,  # (Rs, 128) i32 txp_of_pos[sa] rows
-    sapos_rows,  # (Rs, 128) i32 (sa - txp_offset) rows
-    ht_rows,     # (S/8, 128) i32
+    ht_rows,     # (S/8, 128) i32 (unique k-mers carry sa[lo] directly)
     *,
     k: int,
     cand_cap: int,
@@ -516,8 +536,6 @@ def mmp_scan_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((LB, M * C), lambda b: (b, 0),
@@ -538,8 +556,6 @@ def mmp_scan_pallas(
         scratch_shapes=[
             pltpu.VMEM((LB * 8, 128), jnp.int32),    # htrow_s
             pltpu.VMEM((LB * 16, 128), jnp.int32),   # safetch_s
-            pltpu.VMEM((LB * 16, 128), jnp.int32),   # txfetch_s
-            pltpu.VMEM((LB * 16, 128), jnp.int32),   # pofetch_s
             pltpu.VMEM((LB, 256), jnp.int32),        # saal_s
             pltpu.VMEM((LB, 256), jnp.int32),        # txal_s
             pltpu.VMEM((LB, 256), jnp.int32),        # poal_s
@@ -550,15 +566,12 @@ def mmp_scan_pallas(
             pltpu.VMEM((cand_cap, WINW), jnp.int32),  # alb_s
             pltpu.SemaphoreType.DMA((LB,)),          # sem_h
             pltpu.SemaphoreType.DMA((LB,)),          # sem_sa
-            pltpu.SemaphoreType.DMA((LB,)),          # sem_tx
-            pltpu.SemaphoreType.DMA((LB,)),          # sem_po
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_ca
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cb
             pltpu.SMEM((LB, 8), jnp.int32),          # st_s
         ],
         interpret=interpret,
-    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows,
-      satxp_rows, sapos_rows, ht_rows)
+    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows, ht_rows)
     return gtxp, gpin, vld, meta
 
 
@@ -595,7 +608,6 @@ def map_oriented_lanes_pallas(
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
-        text_pallas["satxp_rows"], text_pallas["sapos_rows"],
         text_pallas["ht_rows"],
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
@@ -611,7 +623,7 @@ def map_oriented_lanes_pallas(
                      "postpass", "uniform_len"),
 )
 def _map_lanes_pallas_jit(
-    codes, lens, text_rows, sa_rows, satxp_rows, sapos_rows, ht_rows,
+    codes, lens, text_rows, sa_rows, ht_rows,
     *,
     k: int,
     cand_cap: int,
@@ -660,7 +672,7 @@ def _map_lanes_pallas_jit(
 
     gtxp, gpin, vld, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, olens,
-        text_rows, sa_rows, satxp_rows, sapos_rows, ht_rows,
+        text_rows, sa_rows, ht_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes,
         n_text=n_text, interpret=interpret, phases=phases,
@@ -716,29 +728,42 @@ def _map_lanes_pallas_jit(
 
 
 def prepare_pallas_text(index, cand_cap: int) -> dict:
-    """Device arrays for the Pallas path: i32 text/SA rows (one front SEP
-    row keeps read-aligned window starts non-negative), SA-ordered
-    companion rows (transcript id and in-transcript position per suffix,
-    so the kernel emits loci directly and the post-pass never gathers),
-    and 8-bucket hash rows."""
+    """Device arrays for the Pallas path.
+
+    text_rows are FUSED: text block r (128 positions, one front SEP row
+    keeps read-aligned window starts non-negative) occupies three
+    consecutive rows [codes_r; txp_of_pos_r; pos_in_txp_r], so each
+    candidate window DMA carries the text AND the candidate's
+    (transcript, in-transcript position) identity — the old SA-ordered
+    companion fetches (3 extra DMAs per lane-step) are gone.  The hash
+    rows store sa[lo] directly for unique k-mers, which skips the SA
+    window fetch for the (majority) unique-seed case too."""
     if index.kmer_ht is None:
         raise ValueError("pallas mapping path requires a k-mer table (k >= 17)")
     n = index.text_len
-    nrows = -(-n // ROW)
-    text = np.full(((1 + nrows + PAD_ROWS) * ROW,), 4, dtype=np.int32)
+    nrows = 1 + (-(-n // ROW)) + PAD_ROWS
+    text = np.full((nrows * ROW,), 4, dtype=np.int32)
     text[ROW : ROW + n] = index.codes
+    txp_of_pos = np.asarray(index.txp_of_pos, np.int32)
+    txp_offsets = np.asarray(index.txp_offsets, np.int32)
+    tx_full = np.zeros(nrows * ROW, dtype=np.int32)
+    tx_full[ROW : ROW + n] = txp_of_pos[:n]
+    po_full = np.zeros(nrows * ROW, dtype=np.int32)
+    po_full[ROW : ROW + n] = np.arange(n, dtype=np.int32) - txp_offsets[
+        txp_of_pos[:n]
+    ]
+    fused = np.stack(
+        [text.reshape(-1, ROW), tx_full.reshape(-1, ROW),
+         po_full.reshape(-1, ROW)], axis=1,
+    ).reshape(-1, ROW)  # rows [codes_r, txp_r, pos_r] per block
     sarows = -(-n // ROW) + PAD_ROWS
     sa = np.full((sarows * ROW,), n - 1, dtype=np.int32)
     sa[:n] = index.sa
-    txp_of_pos = np.asarray(index.txp_of_pos, np.int32)
-    txp_offsets = np.asarray(index.txp_offsets, np.int32)
-    satxp = txp_of_pos[sa]
-    sapos = sa - txp_offsets[satxp]
     return {
-        "text_rows": jnp.asarray(text.reshape(-1, ROW)),
+        "text_rows": jnp.asarray(fused),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
-        "satxp_rows": jnp.asarray(satxp.reshape(-1, ROW)),
-        "sapos_rows": jnp.asarray(sapos.reshape(-1, ROW)),
-        "ht_rows": jnp.asarray(pack_kmer_table_rows(index.kmer_ht)),
+        "ht_rows": jnp.asarray(
+            pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
+        ),
         "n_text": n,
     }

@@ -173,6 +173,7 @@ class DeviceMapperBackend:
                 "multi-host path)"
             )
         self.opts = opts
+        self._pe_steps = {}  # (format_id, uniform_len...) -> jitted step
         self.k = index.k
         self.prefix_bases = index.prefix_bases
         self._index = index
@@ -236,7 +237,8 @@ class DeviceMapperBackend:
             jnp.asarray(se_flags),
         )
 
-    def _map_lanes(self, codes: np.ndarray, lens: np.ndarray):
+    def _map_lanes(self, codes: np.ndarray, lens: np.ndarray,
+                   uniform_len: int | None = None):
         opts = self.opts
         if opts.kernel == "pallas":
             from .pallas_kernel import map_oriented_lanes_pallas
@@ -247,9 +249,11 @@ class DeviceMapperBackend:
                 self._pallas_text = prepare_pallas_text(
                     self._index, opts.hit_capacity
                 )
-            live = lens[lens > 0]
-            ul = (int(live[0])
-                  if live.size and (live == live[0]).all() else None)
+            ul = uniform_len
+            if ul is None and isinstance(lens, np.ndarray):
+                live = lens[lens > 0]
+                ul = (int(live[0])
+                      if live.size and (live == live[0]).all() else None)
             hits = map_oriented_lanes_pallas(
                 self._pallas_text,
                 jnp.asarray(codes), jnp.asarray(lens),
@@ -348,22 +352,58 @@ class DeviceMapperBackend:
     # Submission is async (jax dispatch); the finishers are the only
     # sync points.  submit_*/finish_batch* let the driver run a one-deep
     # pipeline: device maps batch n+1 while the host folds batch n.
+    # The whole batch (map read1 + map read2 + fused tail) traces into
+    # ONE jitted dispatch — each dispatch is a full round trip on a
+    # tunneled device.
+    @staticmethod
+    def _uniform_len(lens: np.ndarray):
+        live = lens[lens > 0]
+        return (int(live[0])
+                if live.size and (live == live[0]).all() else None)
+
+    def _pe_step(self, expected: LibraryFormat, ul1, ul2):
+        key = (expected.format_id(), ul1, ul2)
+        fn = self._pe_steps.get(key)
+        if fn is None:
+            def step(c1, l1, c2, l2):
+                h1 = self._map_lanes(c1, l1, uniform_len=ul1)
+                h2 = self._map_lanes(c2, l2, uniform_len=ul2)
+                return self._tail(h1, h2, l1, l2, expected,
+                                  paired_end=True)
+
+            fn = jax.jit(step)
+            self._pe_steps[key] = fn
+        return fn
+
     def submit_pe(self, b1, b2, expected: LibraryFormat):
         n = b1.count
         c1, l1 = self._pad_batch(b1.codes, b1.lens)
         c2, l2 = self._pad_batch(b2.codes, b2.lens)
-        h1 = self._map_lanes(c1, l1)
-        h2 = self._map_lanes(c2, l2)
-        jl1, jl2 = jnp.asarray(l1), jnp.asarray(l2)
-        res = self._tail(h1, h2, jl1, jl2, expected, paired_end=True)
+        res = self._pe_step(
+            expected, self._uniform_len(l1), self._uniform_len(l2)
+        )(jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2),
+          jnp.asarray(l2))
         return (res, n)
+
+    def _se_step(self, expected: LibraryFormat, ul1):
+        key = (expected.format_id(), ul1, "se")
+        fn = self._pe_steps.get(key)
+        if fn is None:
+            def step(c1, l1):
+                h1 = self._map_lanes(c1, l1, uniform_len=ul1)
+                return self._tail(h1, h1, l1, l1, expected,
+                                  paired_end=False)
+
+            fn = jax.jit(step)
+            self._pe_steps[key] = fn
+        return fn
 
     def submit_se(self, b, expected: LibraryFormat):
         n = b.count
         c1, l1 = self._pad_batch(b.codes, b.lens)
-        h1 = self._map_lanes(c1, l1)
-        jl1 = jnp.asarray(l1)
-        res = self._tail(h1, h1, jl1, jl1, expected, paired_end=False)
+        res = self._se_step(expected, self._uniform_len(l1))(
+            jnp.asarray(c1), jnp.asarray(l1)
+        )
         return (res, n)
 
     def finish_batch_fast(self, token, acc) -> BatchStats:

@@ -85,6 +85,10 @@ class RefMapper:
     def __init__(self, index: QuasiIndex, opts: QuantOpts | None = None):
         self.idx = index
         self.opts = opts or QuantOpts()
+        # per-probe candidate capacity, matching the device kernel's
+        # effective envelope (the escalation capacity once the batch
+        # escalation pass is enabled, else the primary hit capacity)
+        self.cand_cap = self.opts.effective_hit_capacity()
         # suffix array positions sorted by A-substituted text
         self._sa = index.sa
         self._codes = index.codes
@@ -100,17 +104,34 @@ class RefMapper:
         neq = np.nonzero(a != b)[0]
         return int(neq[0]) if len(neq) else m
 
+    def _asub_lcp(self, read: np.ndarray, i: int, gpos: int) -> int:
+        """LCP of read[i:] vs text[gpos:] under A-substituted codes (the
+        index's packed16 / k-mer hash convention: N and separators
+        compare as A)."""
+        m = min(len(read) - i, self._n - gpos)
+        a = np.where(read[i : i + m] >= 4, 0, read[i : i + m])
+        b = self._codes[gpos : gpos + m]
+        b = np.where(b >= 4, 0, b)
+        neq = np.nonzero(a != b)[0]
+        return int(neq[0]) if len(neq) else m
+
     def _mmps(self, read: np.ndarray):
         """Collect MMPs for one oriented read.
 
-        Returns list of (qpos, l, [global suffix positions]).
-        Capacities (max_scan_steps / max_mmps) mirror the device kernel's
-        static bounds.
+        Returns (mmps, overflow): mmps a list of (qpos, l, [global suffix
+        positions]); overflow True iff some probed position's exact
+        k-mer SA interval exceeded the candidate capacity — the device
+        kernel can only fetch `hit_capacity` candidates per probe, marks
+        such lanes overflowed and the fragment is dropped like a
+        > --maxReadOcc read.  Capacities (max_scan_steps / max_mmps /
+        cand cap) mirror the device kernel's static bounds exactly.
         """
         idx, opts = self.idx, self.opts
         k, P = idx.k, idx.prefix_bases
+        cap = self.cand_cap
         L = len(read)
         mmps = []
+        overflow = False
         i = 0
         steps = 0
         while i + k <= L and steps < opts.max_scan_steps and len(mmps) < opts.max_mmps:
@@ -124,6 +145,19 @@ class RefMapper:
                 i += 1
                 continue
             cand_gpos = np.asarray(self._sa[lo:hi], dtype=np.int64)
+            # the device kernel's candidate set is the EXACT-k-mer SA
+            # interval (A-substituted hash key); restrict to it so the
+            # capacity check below matches the kernel bit-for-bit
+            if cap is not None or P < k:
+                a_lcps = np.array(
+                    [self._asub_lcp(read, i, g) for g in cand_gpos]
+                )
+                in_k = a_lcps >= k
+                cand_gpos = cand_gpos[in_k]
+            if cap is not None and len(cand_gpos) > cap:
+                overflow = True
+                i += 1
+                continue
             lcps = np.array([self._lcp(read, i, g) for g in cand_gpos])
             lstar = int(lcps.max()) if len(lcps) else 0
             if lstar < k:
@@ -136,14 +170,15 @@ class RefMapper:
                 i += lstar + 1
             else:  # "nip": RapMap-style overlap re-probe
                 i += max(1, lstar - k + 1)
-        return mmps
+        return mmps, overflow
 
-    def _orient_hits(self, read: np.ndarray, fwd: bool) -> dict[int, Hit]:
-        """Position-consistent intersection of MMP loci -> per-txp hit."""
+    def _orient_hits(self, read: np.ndarray, fwd: bool):
+        """Position-consistent intersection of MMP loci -> per-txp hit.
+        Returns (hits, overflow)."""
         idx = self.idx
-        mmps = self._mmps(read)
+        mmps, overflow = self._mmps(read)
         if not mmps:
-            return {}
+            return {}, overflow
         q0, l0, base = mmps[0]
         # implied loci of the first MMP
         loci = {}
@@ -158,22 +193,23 @@ class RefMapper:
                 support.add((t, int(g - idx.txp_offsets[t]) - qi))
             loci = {tp: ml for tp, ml in loci.items() if tp in support}
             if not loci:
-                return {}
+                return {}, overflow
         hits: dict[int, Hit] = {}
         for (t, pos), ml in sorted(loci.items()):
             if t not in hits:  # keep smallest pos per transcript
                 hits[t] = Hit(txp=t, pos=pos, fwd=fwd, mlen=ml)
-        return hits
+        return hits, overflow
 
-    def map_single_oriented(self, read: np.ndarray) -> dict[int, Hit]:
-        """Both orientations, one Hit per transcript."""
-        fw = self._orient_hits(read, True)
-        rc = self._orient_hits(dna.revcomp(read), False)
+    def map_single_oriented(self, read: np.ndarray):
+        """Both orientations, one Hit per transcript.
+        Returns (hits, overflow)."""
+        fw, of1 = self._orient_hits(read, True)
+        rc, of2 = self._orient_hits(dna.revcomp(read), False)
         hits = dict(fw)
         for t, h in rc.items():
             if t not in hits or h.mlen > hits[t].mlen:
                 hits[t] = h
-        return hits
+        return hits, of1 or of2
 
     # ---------------- fragment-level mapping ----------------
 
@@ -181,8 +217,9 @@ class RefMapper:
         self, read1: np.ndarray, read2: np.ndarray, expected: LibraryFormat
     ) -> ReadMapping:
         opts = self.opts
-        lhits = self.map_single_oriented(read1)
-        rhits = self.map_single_oriented(read2)
+        lhits, of1 = self.map_single_oriented(read1)
+        rhits, of2 = self.map_single_oriented(read2)
+        overflow = of1 or of2
         len1, len2 = len(read1), len(read2)
 
         shared = sorted(set(lhits) & set(rhits))
@@ -227,21 +264,23 @@ class RefMapper:
             joint = orphans
 
         num_joint = len(joint)
-        if num_joint > opts.max_read_occs:
+        if num_joint > opts.max_read_occs or overflow:
             joint = []
-            num_joint = 0  # reference clears jointHits (:217)
+            num_joint = 0  # reference clears jointHits (:217); a
+            # capacity overflow drops the fragment the same way
+            # (device kernel parity, see _mmps)
 
         return self._collapse(joint, expected, paired_end=True)
 
     def map_fragment_se(
         self, read: np.ndarray, expected: LibraryFormat
     ) -> ReadMapping:
-        hits = self.map_single_oriented(read)
+        hits, overflow = self.map_single_oriented(read)
         joint = [
             Hit(t, h.pos, h.fwd, h.mlen, MateStatus.SINGLE_END, read_len=len(read))
             for t, h in sorted(hits.items())
         ]
-        if len(joint) > self.opts.max_read_occs:
+        if len(joint) > self.opts.max_read_occs or overflow:
             joint = []
         return self._collapse(joint, expected, paired_end=False)
 
