@@ -75,9 +75,13 @@ class QuantOpts:
     #                                over batches; combine via mergeeq)
     max_mmps: int = 4              # max MMP seeds recorded per read per
                                    # orientation (static capacity)
-    max_scan_steps: int = 4        # max sequential seed-probe steps
-                                   # (with mmp_skip="jump", a read needs
-                                   # ~#errors+1 steps)
+    max_scan_steps: int = 0        # max sequential seed-probe positions
+                                   # per oriented read; 0 = auto (full
+                                   # scan to the read end, the reference
+                                   # semantics — RapMap bounds scanning
+                                   # only by the read length).  Each
+                                   # probed position (hit OR miss)
+                                   # consumes one step in every backend.
     kernel: str = "xla"            # mapping scan implementation: "xla"
                                    # (map/kernels.py) or "pallas"
                                    # (map/pallas_kernel.py — per-lane
@@ -89,13 +93,17 @@ class QuantOpts:
                                    # step; active lanes beyond the width
                                    # are dropped as overflow (documented
                                    # capacity; see map/kernels.py)
-    mmp_skip: str = "jump"         # after an MMP of length l at position
-                                   # i: "jump" -> next probe at i+l+1
-                                   # (just past the mismatch; steps ~
-                                   # errors+1), "nip" -> i+max(1, l-k+1)
-                                   # (RapMap-style overlap re-probe,
-                                   # catches cross-transcript hits in
-                                   # windows spanning the mismatch)
+    mmp_skip: str = "nip"          # after an MMP of length l at position
+                                   # i: "nip" -> i+max(1, l-k+1) (the
+                                   # RapMap SACollector overlap re-probe
+                                   # — DEFAULT, matches the reference's
+                                   # hit sets; catches cross-transcript
+                                   # hits in windows spanning the
+                                   # mismatch), "jump" -> i+l+1 (just
+                                   # past the mismatch; ~errors+1 steps,
+                                   # faster but provably diverges on
+                                   # error-bearing reads — see
+                                   # FIDELITY.md)
     hit_capacity: int = 64         # max candidate loci per read per
                                    # orientation (static capacity); reads
                                    # exceeding it are treated like
@@ -109,6 +117,16 @@ class QuantOpts:
                                    # envelope on repetitive references.
     dtype: str = "float64"         # EM dtype ("float64" on CPU golden
                                    # runs; "float32" on TPU)
+
+    def effective_scan_steps(self, window_len: int) -> int:
+        """The per-oriented-read probe-position budget: the configured
+        cap, or (auto, the default) enough steps to scan to the read
+        end — probes advance >= 1 position each, so window - k + 1 steps
+        can never bind before the read end does (reference parity:
+        RapMap bounds scanning only by read length)."""
+        if self.max_scan_steps > 0:
+            return self.max_scan_steps
+        return max(window_len, 1)
 
     def effective_hit_capacity(self) -> int:
         """The per-probe candidate envelope the device path honors (the

@@ -34,7 +34,9 @@ positions + validity + query positions); the shared XLA post-pass
 map_oriented_lanes.  Selected via QuantOpts.kernel = "pallas"; validated
 against the XLA kernel and the numpy oracle in interpret mode on CPU.
 
-Constraints: reads <= WINR (128) bases; k in [17, 31]; jump skip rule.
+Constraints: reads <= WINR (128) bases; k in [17, 31]; both skip rules
+(nip default / jump) — misses fast-forward inside the probe loop so an
+error region costs inner probe iterations, not full outer steps.
 
 Hardware status: compiles and runs on the TPU v5e — the scan step
 measures ~188k fragments/s at batch 4096 (22 ms for 8192 lanes) vs ~18k
@@ -139,7 +141,7 @@ def _scan_kernel(
     alb_s,       # (C, WINW) i32 scratch (read-aligned text, bank B)
     sem_h, sem_sa, sem_ca, sem_cb,
     st_s,        # (LB, 8) i32 SMEM scratch — per-lane scan state:
-                 # [i, nm, spare, h, lo, cnt, probe_done, spare]
+                 # [i, nm, steps, h, lo, cnt, probe_done, att]
     *,
     k: int,
     C: int,
@@ -148,6 +150,7 @@ def _scan_kernel(
     ht_bits: int,
     ht_probes: int,
     n_text: int,
+    skip_jump: bool = False,
     phases: str = "abc",
 ):
     """Phase-synchronous scan: all LB lanes advance one MMP step per
@@ -186,6 +189,17 @@ def _scan_kernel(
         ).start()
 
     def resolve_probe(lane):
+        """Resolve one hash-row fetch.  Outcomes:
+          * found       -> record (lo, cnt), consume the position's step,
+                          probe_done
+          * collision   -> bump h, re-probe the SAME position (no step)
+          * miss        -> consume the step and FAST-FORWARD: advance to
+                          the next position and re-probe within this
+                          same inner loop (an oracle "i += 1; continue"
+                          without paying a full phase-B/C outer step) —
+                          until found, read end, or step budget.
+        A probe chain that exhausts ht_probes attempts counts as a miss
+        (the oracle's empty exact-k interval)."""
         i = st_s[lane, 0]
         key0 = pw_ref[lane, i]
         key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
@@ -214,11 +228,25 @@ def _scan_kernel(
             fcnt = jnp.where(hit_e & ~found, ecnt, fcnt)
             found = found | hit_e
             has_empty = has_empty | (ecnt == 0)
-        done = found | has_empty
+        att = st_s[lane, 7]
+        exhausted = ~found & ~has_empty & (att + 1 >= ht_probes)
+        miss = (has_empty & ~found) | exhausted
+        steps = st_s[lane, 2] + jnp.where(found | miss, 1, 0)
+        ni = jnp.where(miss, i + 1, i)
+        ffwd = miss & (ni + k <= lens_ref[lane, 0]) & (steps < max_steps)
+        done = found | (miss & ~ffwd)
+        nk0 = pw_ref[lane, ni]
+        nk1 = _lsr32(pw_ref[lane, ni + 16], 2 * (32 - k))
+        fresh = _mix_i32(nk0, nk1) & hmask
+        st_s[lane, 0] = ni
+        st_s[lane, 2] = steps
+        st_s[lane, 3] = jnp.where(
+            ffwd, fresh, jnp.where(done, h, (h + 1) & hmask)
+        )
         st_s[lane, 4] = jnp.where(found, flo, st_s[lane, 4])
-        st_s[lane, 5] = jnp.where(found, fcnt, st_s[lane, 5])
+        st_s[lane, 5] = jnp.where(found, fcnt, I32(0))
         st_s[lane, 6] = jnp.where(done, 1, 0)
-        st_s[lane, 3] = jnp.where(done, h, (h + 1) & hmask)
+        st_s[lane, 7] = jnp.where(ffwd, I32(0), att + 1)
 
     def issue_cands(lane, amask, cand_s, sem_c):
         act = lane_act(amask, lane)
@@ -356,7 +384,19 @@ def _scan_kernel(
             meta_ref[lane, 1] = jnp.maximum(
                 meta_ref[lane, 1], jnp.where(over, 1, 0)
             )
-            st_s[lane, 0] = i + jnp.where(hit, lstar + 1, 1)
+            # advance only when this lane's probe FOUND a k-mer (cnt>0):
+            # on a miss, resolve_probe's fast-forward already moved i
+            # past the missed position(s).  Rule: "jump" restarts past
+            # the mismatch; "nip" (default) is the RapMap SACollector
+            # overlap re-probe at i + max(1, lstar - k + 1).
+            if skip_jump:
+                hadv = lstar + 1
+            else:
+                hadv = jnp.maximum(1, lstar - k + 1)
+            adv = jnp.where(
+                cnt > 0, jnp.where(hit, hadv, 1), 0
+            )
+            st_s[lane, 0] = i + adv
             st_s[lane, 1] = nm + jnp.where(hit, 1, 0)
 
     def obody(carry):
@@ -379,14 +419,13 @@ def _scan_kernel(
                 st_s[lane, 4] = I32(0)
                 st_s[lane, 5] = I32(0)
                 st_s[lane, 6] = I32(0)
+                st_s[lane, 7] = I32(0)
                 issue_probe(lane)
 
-        def pcond(c):
-            pmask, _ = c
+        def pcond(pmask):
             return pmask != 0
 
-        def pbody(c):
-            pmask, att = c
+        def pbody(pmask):
             for lane in range(LB):
                 @pl.when(((pmask >> lane) & 1) == 1)
                 def _():
@@ -394,15 +433,14 @@ def _scan_kernel(
             nmask = I32(0)
             for lane in range(LB):
                 live = ((pmask >> lane) & 1) & (1 - st_s[lane, 6])
-                live = jnp.where(att + 1 < ht_probes, live, 0)
                 nmask = nmask | (live << lane)
             for lane in range(LB):
                 @pl.when(((nmask >> lane) & 1) == 1)
                 def _():
                     issue_probe(lane)
-            return (nmask, att + 1)
+            return nmask
 
-        jax.lax.while_loop(pcond, pbody, (amask, I32(0)))
+        jax.lax.while_loop(pcond, pbody, amask)
 
         # ---- Phase B: SA-interval position windows, needed only for
         # NON-unique seeds (cnt > 1; unique seeds got their position
@@ -473,6 +511,7 @@ def _scan_kernel(
                 st_s[lane, 0] + k <= lens_ref[lane, 0], 1, 0
             )
             a = a & jnp.where(st_s[lane, 1] < M, 1, 0)
+            a = a & jnp.where(st_s[lane, 2] < max_steps, 1, 0)
             nmask = nmask | (a << lane)
         return (s + 1, nmask)
 
@@ -493,7 +532,8 @@ def _scan_kernel(
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
-                     "ht_probes", "n_text", "interpret", "phases"),
+                     "ht_probes", "n_text", "interpret", "skip_jump",
+                     "phases"),
 )
 def mmp_scan_pallas(
     codes_i32,   # (B2, WINW) i32 lane codes, SEP padded
@@ -511,6 +551,7 @@ def mmp_scan_pallas(
     ht_probes: int,
     n_text: int = 0,
     interpret: bool = False,
+    skip_jump: bool = False,
     phases: str = "abc",
 ):
     B2 = codes_i32.shape[0]
@@ -521,7 +562,7 @@ def mmp_scan_pallas(
         _scan_kernel,
         k=k, C=C, M=M, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, n_text=n_text,
-        phases=phases,
+        skip_jump=skip_jump, phases=phases,
     )
     gtxp, gpin, vld, meta = pl.pallas_call(
         kern,
@@ -586,6 +627,7 @@ def map_oriented_lanes_pallas(
     max_steps: int,
     ht_bits: int,
     ht_probes: int,
+    skip_jump: bool = False,
     interpret: bool = False,
     phases: str = "abc",
     postpass: bool = True,
@@ -610,7 +652,7 @@ def map_oriented_lanes_pallas(
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"],
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
-        ht_bits=ht_bits, ht_probes=ht_probes,
+        ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=text_pallas["n_text"], interpret=interpret,
         phases=phases, postpass=postpass, uniform_len=uniform_len,
     )
@@ -619,8 +661,8 @@ def map_oriented_lanes_pallas(
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
-                     "ht_probes", "n_text", "interpret", "phases",
-                     "postpass", "uniform_len"),
+                     "ht_probes", "n_text", "interpret", "skip_jump",
+                     "phases", "postpass", "uniform_len"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows,
@@ -633,6 +675,7 @@ def _map_lanes_pallas_jit(
     ht_probes: int,
     n_text: int,
     interpret: bool,
+    skip_jump: bool = False,
     phases: str = "abc",
     postpass: bool = True,
     uniform_len: int | None = None,
@@ -674,7 +717,7 @@ def _map_lanes_pallas_jit(
         codes_pad.astype(jnp.int32), pw_i32, olens,
         text_rows, sa_rows, ht_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
-        ht_bits=ht_bits, ht_probes=ht_probes,
+        ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=n_text, interpret=interpret, phases=phases,
     )
     if not postpass:  # debug: scan-only timing

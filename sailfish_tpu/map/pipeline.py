@@ -240,6 +240,7 @@ class DeviceMapperBackend:
     def _map_lanes(self, codes: np.ndarray, lens: np.ndarray,
                    uniform_len: int | None = None):
         opts = self.opts
+        scan_budget = opts.effective_scan_steps(codes.shape[1])
         if opts.kernel == "pallas":
             from .pallas_kernel import map_oriented_lanes_pallas
 
@@ -260,9 +261,10 @@ class DeviceMapperBackend:
                 k=self.k,
                 cand_cap=opts.hit_capacity,
                 max_mmps=opts.max_mmps,
-                max_steps=opts.max_scan_steps,
+                max_steps=scan_budget,
                 ht_bits=self.ht_bits,
                 ht_probes=self.ht_probes,
+                skip_jump=(opts.mmp_skip == "jump"),
                 interpret=(jax.default_backend() == "cpu"),
                 uniform_len=ul,
             )
@@ -276,7 +278,7 @@ class DeviceMapperBackend:
                 prefix_bases=self.prefix_bases,
                 cand_cap=opts.hit_capacity,
                 max_mmps=opts.max_mmps,
-                max_steps=opts.max_scan_steps,
+                max_steps=scan_budget,
                 use_hash=self.use_hash,
                 ht_probes=self.ht_probes,
                 ht_bits=self.ht_bits,

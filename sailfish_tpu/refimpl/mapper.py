@@ -134,7 +134,8 @@ class RefMapper:
         overflow = False
         i = 0
         steps = 0
-        while i + k <= L and steps < opts.max_scan_steps and len(mmps) < opts.max_mmps:
+        budget = opts.effective_scan_steps(L)
+        while i + k <= L and steps < budget and len(mmps) < opts.max_mmps:
             steps += 1
             window = read[i : i + P]
             if np.any(window >= 4):
