@@ -91,11 +91,19 @@ def _add_quant_parser(sub):
                    help="host-side IO/decode workers")
     p.add_argument("--numShards", type=int, default=1,
                    help="multi-host data parallelism: total number of "
-                   "read shards; each host runs the same command with "
-                   "its own --shardId and --dumpEq, then rank 0 runs "
+                   "read shards.  WITHOUT --shardId this command "
+                   "launches all N shard processes locally, merges "
+                   "their eq classes, and runs inference once (the "
+                   "single-command form).  On a real pod, run one "
+                   "process per host with --shardId i --mapOnly, then "
                    "mergeeq + quant --resumeFromEq")
-    p.add_argument("--shardId", type=int, default=0,
-                   help="this host's shard index in [0, numShards)")
+    p.add_argument("--shardId", type=int, default=-1,
+                   help="this host's shard index in [0, numShards); "
+                   "omit to auto-launch all shards locally")
+    p.add_argument("--mapOnly", action="store_true",
+                   help="stop after mapping: write the eq-class dump + "
+                   "quant state, skip inference and outputs (the "
+                   "per-shard half of a multi-host run)")
     # TPU-specific
     p.add_argument("--backend", choices=["device", "refimpl"], default="device")
     p.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
@@ -111,9 +119,11 @@ def _add_quant_parser(sub):
                    help=">1: compact active lanes between MMP-scan steps, "
                    "shrinking width by this factor per step (faster, "
                    "bounded per-batch step budget)")
-    p.add_argument("--mmpSkip", choices=["jump", "nip"], default="jump",
-                   help="MMP advance rule: jump past the mismatch, or the "
-                   "RapMap-style overlap re-probe")
+    p.add_argument("--mmpSkip", choices=["jump", "nip"], default="nip",
+                   help="MMP advance rule: nip = the RapMap-style overlap "
+                   "re-probe (reference parity, default), jump = restart "
+                   "past the mismatch (faster, diverges on error-bearing "
+                   "reads; see FIDELITY.md)")
     return p
 
 
@@ -203,6 +213,19 @@ def _main_index(args) -> int:
 
 def _main_quant(args, argv) -> int:
     _setup_logging(args.output)
+
+    # single-command multi-host form: --numShards N without --shardId
+    # launches the shard subprocesses, merges, and infers once
+    if args.numShards > 1 and args.shardId < 0:
+        from .parallel.launcher import run_sharded_quant
+
+        ordered = [("command", "quant")] + [
+            (k, v) for k, v in vars(args).items() if k != "command"
+        ]
+        return run_sharded_quant(args, ordered)
+    if args.shardId < 0:
+        args.shardId = 0
+
     import jax
 
     platform = jax.default_backend()
@@ -247,6 +270,7 @@ def _main_quant(args, argv) -> int:
         num_threads=args.numThreads,
         num_shards=args.numShards,
         shard_id=args.shardId,
+        map_only=args.mapOnly,
         seed=args.seed,
         dtype=dtype,
         hit_capacity=args.hitCapacity,

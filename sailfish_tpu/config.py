@@ -73,6 +73,10 @@ class QuantOpts:
     num_shards: int = 1            # multi-host DP: total read shards
     shard_id: int = 0              # this host's shard (round-robin
     #                                over batches; combine via mergeeq)
+    map_only: bool = False         # stop after mapping: write eq dump +
+    #                                quant state, skip inference/outputs
+    #                                (the per-shard half of a multi-host
+    #                                run; see parallel/launcher.py)
     max_mmps: int = 4              # max MMP seeds recorded per read per
                                    # orientation (static capacity)
     max_scan_steps: int = 0        # max sequential seed-probe positions

@@ -120,23 +120,84 @@ def round_up_len(n: int) -> int:
     return max(8, (int(n) + 7) // 8 * 8)
 
 
-def _decode_stream(path, batch_size, max_len, skip_reads, use_native):
-    it = None
+class _PyFastqReader:
+    """Pure-Python reader with the same next_batch/skip interface as
+    io.native.NativeFastqReader (the fallback when _native.so is
+    absent).  skip() reads record lines without parsing or encoding."""
+
+    def __init__(self, path, batch_size, max_len, skip_reads=0):
+        self.path = path
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self._fh = _open_maybe_gz(path)
+        if skip_reads:
+            got = self.skip(skip_reads)
+            if got != skip_reads:
+                self.close()
+                raise IOError(
+                    f"{path}: cannot skip {skip_reads} reads "
+                    f"(file has only {got})"
+                )
+
+    def _next_seq(self) -> bytes | None:
+        fh = self._fh
+        while True:
+            header = fh.readline()
+            if not header:
+                return None
+            if header.strip() == b"":
+                continue
+            if not header.startswith(b"@"):
+                raise IOError(f"malformed FASTQ record in {self.path}")
+            seq = fh.readline().rstrip()
+            fh.readline()  # '+'
+            fh.readline()  # quals
+            return seq
+
+    def next_batch(self) -> "FastqBatch | None":
+        block: list[bytes] = []
+        while len(block) < self.batch_size:
+            s = self._next_seq()
+            if s is None:
+                break
+            block.append(s)
+        if not block:
+            return None
+        return _encode_block(block, self.max_len)
+
+    def skip(self, count: int) -> int:
+        n = 0
+        while n < count:
+            if self._next_seq() is None:
+                break
+            n += 1
+        return n
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+def _open_reader(path, batch_size, max_len, skip_reads, use_native):
+    rd = None
     if use_native:
-        it = native_decode_fastq(path, batch_size, max_len, skip_reads)
-    if it is None:
-        it = (
-            _encode_block(b, max_len)
-            for b in _iter_fastq_seq_blocks(path, batch_size, skip_reads)
-        )
-    return it
+        from .native import native_open_fastq
+
+        rd = native_open_fastq(path, batch_size, max_len, skip_reads)
+    if rd is None:
+        rd = _PyFastqReader(path, batch_size, max_len, skip_reads)
+    return rd
 
 
 class _RepadDecoder:
     """Batch stream over one file whose static width can grow: when a
     read longer than the current max_len appears, the stream restarts
     from that read's position with a wider width (the already-yielded
-    prefix was unaffected — every read in it fit the old width)."""
+    prefix was unaffected — every read in it fit the old width).
+
+    `yielded` counts records CONSUMED (decoded or skipped), so restart
+    resumes at the right file position under shard-skipping too."""
 
     def __init__(self, path, batch_size, max_len, use_native=True):
         self.path = path
@@ -144,14 +205,21 @@ class _RepadDecoder:
         self.max_len = max_len
         self.use_native = use_native
         self.yielded = 0
-        self._it = _decode_stream(path, batch_size, max_len, 0, use_native)
+        self._rd = _open_reader(path, batch_size, max_len, 0, use_native)
 
     def next_batch(self) -> FastqBatch | None:
         """Next batch, or None at EOF.  The returned batch may carry
         lens > max_len — the caller decides when/how to restart (for
         paired files both mates restart together)."""
-        b = next(self._it, None)
-        return b
+        return self._rd.next_batch()
+
+    def skip_batch(self) -> int:
+        """Fast-forward one batch's worth of records without decoding
+        (shard-aware IO: other shards' batches cost a line scan, not a
+        parse+encode+map).  Returns records skipped (0 at EOF)."""
+        n = self._rd.skip(self.batch_size)
+        self.yielded += n
+        return n
 
     def overflow(self, b: FastqBatch) -> int:
         m = int(b.lens.max()) if b.count else 0
@@ -160,11 +228,9 @@ class _RepadDecoder:
     def restart(self, new_max_len: int):
         """Re-open at the current position with a wider static width.
         The pending (overflowed) batch is re-decoded on the next call."""
-        close = getattr(self._it, "close", None)
-        if close:
-            close()
+        self._rd.close()
         self.max_len = new_max_len
-        self._it = _decode_stream(
+        self._rd = _open_reader(
             self.path, self.batch_size, new_max_len, self.yielded,
             self.use_native,
         )
@@ -173,9 +239,7 @@ class _RepadDecoder:
         self.yielded += b.count
 
     def close(self):
-        close = getattr(self._it, "close", None)
-        if close:
-            close()
+        self._rd.close()
 
 
 def _run_producer(q: _queue.Queue, fn):
@@ -200,14 +264,25 @@ def _consume(q: _queue.Queue):
 
 def iter_fastq_batches(
     path: str, batch_size: int, max_len: int, prefetch: int = 2,
-    use_native: bool = True,
+    use_native: bool = True, shard: tuple[int, int] = (0, 1),
 ) -> Iterator[FastqBatch]:
-    """Stream single-end batches with background decode."""
+    """Stream single-end batches with background decode.
+
+    `shard=(sid, n)` yields only batches whose index ≡ sid (mod n);
+    the others are fast-forwarded with a line scan (no parse/encode) —
+    the shard-aware IO half of the multi-host path (SURVEY §2.4)."""
+    sid, nshards = shard
 
     def produce():
         dec = _RepadDecoder(path, batch_size, max_len, use_native)
+        batch_idx = 0
         try:
             while True:
+                if nshards > 1 and (batch_idx % nshards) != sid:
+                    if dec.skip_batch() == 0:
+                        break
+                    batch_idx += 1
+                    continue
                 b = dec.next_batch()
                 if b is None:
                     break
@@ -222,6 +297,7 @@ def iter_fastq_batches(
                     dec.restart(new_len)
                     continue
                 dec.advance(b)
+                batch_idx += 1
                 q.put(b)
         finally:
             dec.close()
@@ -236,19 +312,49 @@ def iter_fastq_batches(
 
 def iter_paired_fastq_batches(
     path1: str, path2: str, batch_size: int, max_len: int, prefetch: int = 2,
-    use_native: bool = True,
+    use_native: bool = True, shard: tuple[int, int] = (0, 1),
+    decode_threads: int = 1,
 ) -> Iterator[tuple[FastqBatch, FastqBatch]]:
     """Stream paired-end batches (mate1, mate2) with background decode.
     Both mates share one static width; a long read in either file
-    restarts both streams at the same fragment position."""
+    restarts both streams at the same fragment position.
+
+    `shard=(sid, n)`: yield only batch indices ≡ sid (mod n), skipping
+    the rest without decoding.  `decode_threads >= 2` decodes the two
+    mate files concurrently (the -p/--numThreads CLI knob)."""
+    sid, nshards = shard
 
     def produce():
         d1 = _RepadDecoder(path1, batch_size, max_len, use_native)
         d2 = _RepadDecoder(path2, batch_size, max_len, use_native)
+        pool = None
+        if decode_threads >= 2:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=2)
+
+        def both(f1, f2):
+            if pool is not None:
+                a1 = pool.submit(f1)
+                a2 = pool.submit(f2)
+                return a1.result(), a2.result()
+            return f1(), f2()
+
+        batch_idx = 0
         try:
             while True:
-                b1 = d1.next_batch()
-                b2 = d2.next_batch()
+                if nshards > 1 and (batch_idx % nshards) != sid:
+                    n1, n2 = both(d1.skip_batch, d2.skip_batch)
+                    if n1 != n2:
+                        raise ValueError(
+                            "paired FASTQ files have different read counts "
+                            f"({path1} vs {path2})"
+                        )
+                    if n1 == 0:
+                        break
+                    batch_idx += 1
+                    continue
+                b1, b2 = both(d1.next_batch, d2.next_batch)
                 if b1 is None and b2 is None:
                     break
                 if b1 is None or b2 is None or b1.count != b2.count:
@@ -269,10 +375,13 @@ def iter_paired_fastq_batches(
                     continue
                 d1.advance(b1)
                 d2.advance(b2)
+                batch_idx += 1
                 q.put((b1, b2))
         finally:
             d1.close()
             d2.close()
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     q: _queue.Queue = _queue.Queue(maxsize=prefetch)
     t = threading.Thread(

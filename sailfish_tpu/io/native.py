@@ -65,54 +65,98 @@ def native_available() -> bool:
     return _lib() is not None
 
 
+class NativeFastqReader:
+    """Stateful handle over the C++ decoder: next_batch() decodes into a
+    fresh FastqBatch; skip(n) fast-forwards n records WITHOUT decoding
+    or encoding (the shard-aware IO path: other shards' batches cost one
+    line scan, not a parse+encode).  Raises IOError on malformed records
+    (instead of treating them as EOF)."""
+
+    def __init__(self, lib, handle, path, batch_size, max_len):
+        self._lib = lib
+        self._h = handle
+        self.path = path
+        self.batch_size = batch_size
+        self.max_len = max_len
+
+    def next_batch(self):
+        from .fastq import FastqBatch
+
+        if self._h is None:
+            return None
+        codes = np.empty((self.batch_size, self.max_len), dtype=np.uint8)
+        lens = np.empty(self.batch_size, dtype=np.int32)
+        n = self._lib.sf_fastq_next_batch(
+            self._h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.batch_size,
+            self.max_len,
+        )
+        if n < 0:
+            raise IOError(f"malformed FASTQ record in {self.path}")
+        if n == 0:
+            return None
+        return FastqBatch(codes=codes[:n], lens=lens[:n])
+
+    def skip(self, count: int) -> int:
+        """Skip up to `count` records; returns the number skipped."""
+        if self._h is None or count <= 0:
+            return 0
+        got = self._lib.sf_fastq_skip(self._h, count)
+        if got < 0:
+            raise IOError(f"malformed FASTQ record in {self.path}")
+        return int(got)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.sf_fastq_close(self._h)
+            self._h = None
+
+
+def native_open_fastq(path: str, batch_size: int, max_len: int,
+                      skip_reads: int = 0) -> Optional[NativeFastqReader]:
+    """NativeFastqReader positioned after `skip_reads` records, or None
+    if the native library is unavailable."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "sf_fastq_skip"):
+        return None
+    handle = lib.sf_fastq_open(path.encode())
+    if handle < 0:
+        raise IOError(f"native fastq open failed: {path}")
+    rd = NativeFastqReader(lib, handle, path, batch_size, max_len)
+    if skip_reads:
+        got = rd.skip(skip_reads)
+        if got != skip_reads:
+            rd.close()
+            raise IOError(
+                f"{path}: cannot skip {skip_reads} reads "
+                f"(file has only {got})"
+            )
+    return rd
+
+
 def native_decode_fastq(path: str, batch_size: int, max_len: int,
                         skip_reads: int = 0):
     """Iterator of FastqBatch via the C++ decoder, or None if unavailable.
 
     The returned batches carry TRUE read lengths in `lens` (which may
     exceed `max_len`); the caller is responsible for detecting overflow
-    and re-padding.  Raises IOError on malformed records (instead of
-    treating them as EOF).
+    and re-padding.
     """
-    lib = _lib()
-    if lib is None:
+    rd = native_open_fastq(path, batch_size, max_len, skip_reads)
+    if rd is None:
         return None
-    if skip_reads and not hasattr(lib, "sf_fastq_skip"):
-        return None
-    handle = lib.sf_fastq_open(path.encode())
-    if handle < 0:
-        raise IOError(f"native fastq open failed: {path}")
 
-    from .fastq import FastqBatch
-
-    def gen() -> Iterator["FastqBatch"]:
+    def gen() -> Iterator:
         try:
-            if skip_reads:
-                got = lib.sf_fastq_skip(handle, skip_reads)
-                if got < 0:
-                    raise IOError(f"malformed FASTQ record in {path}")
-                if got != skip_reads:
-                    raise IOError(
-                        f"{path}: cannot skip {skip_reads} reads "
-                        f"(file has only {got})"
-                    )
             while True:
-                codes = np.empty((batch_size, max_len), dtype=np.uint8)
-                lens = np.empty(batch_size, dtype=np.int32)
-                n = lib.sf_fastq_next_batch(
-                    handle,
-                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    batch_size,
-                    max_len,
-                )
-                if n < 0:
-                    raise IOError(f"malformed FASTQ record in {path}")
-                if n == 0:
+                b = rd.next_batch()
+                if b is None:
                     break
-                yield FastqBatch(codes=codes[:n], lens=lens[:n])
+                yield b
         finally:
-            lib.sf_fastq_close(handle)
+            rd.close()
 
     return gen()
 

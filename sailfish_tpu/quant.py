@@ -356,23 +356,18 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             )
 
     # multi-host data parallelism (SURVEY §2.4): round-robin batches
-    # over shards; each shard dumps eq classes, rank 0 merges + resumes
-    batch_idx = 0
-
-    def mine():
-        nonlocal batch_idx
-        take = (batch_idx % opts.num_shards) == opts.shard_id
-        batch_idx += 1
-        return take
-
+    # over shards, skipped INSIDE the decoder (other shards' batches
+    # cost a line scan, not a parse+encode+map); each shard dumps eq
+    # classes, rank 0 merges + resumes (see parallel/launcher.py for
+    # the single-command form)
+    shard = (opts.shard_id, opts.num_shards)
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
             ml = max(_probe_max_len(f1), _probe_max_len(f2))
             for b1, b2 in iter_paired_fastq_batches(
-                f1, f2, opts.batch_size, max_len=ml
+                f1, f2, opts.batch_size, max_len=ml, shard=shard,
+                decode_threads=opts.num_threads,
             ):
-                if not mine():
-                    continue
                 token = mapper.submit_pe(b1, b2, expected)
                 if pending is not None:
                     fold(pending)
@@ -380,10 +375,8 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     else:
         for f in opts.unmated_reads:
             for b in iter_fastq_batches(
-                f, opts.batch_size, max_len=_probe_max_len(f)
+                f, opts.batch_size, max_len=_probe_max_len(f), shard=shard
             ):
-                if not mine():
-                    continue
                 token = mapper.submit_se(b, expected)
                 if pending is not None:
                     fold(pending)
@@ -400,6 +393,32 @@ def run_quant(opts: QuantOpts, backend: str = "device",
 
     eq = acc.finish()
     log.info("computed %d rich equivalence classes", eq.num_classes)
+
+    if opts.map_only:
+        # per-shard half of a multi-host run: persist the eq classes and
+        # the counter/FLD state, skip inference (rank 0 merges + infers)
+        from .eqclass.io import write_eq_dump
+
+        os.makedirs(aux_path, exist_ok=True)
+        write_eq_dump(
+            os.path.join(aux_path, "eq_classes.txt"), names, eq,
+            atomic=True,
+        )
+        _write_quant_state(aux_path, state)
+        log.info(
+            "mapOnly: wrote %d eq classes + state for %d fragments",
+            eq.num_classes, state.num_observed,
+        )
+        return {
+            "num_observed": state.num_observed,
+            "num_mapped": state.num_mapped,
+            "mapping_rate": state.num_mapped / max(1, state.num_observed),
+            "num_eq_classes": eq.num_classes,
+            "em_iterations": 0,
+            "map_seconds": t_map,
+            "total_seconds": time.time() - t_start,
+        }
+
     return _infer_and_write(
         opts, index, names, ref_lens, num_txps, writer, state, eq,
         bias_state=bias_state, start_time=start_time, t_start=t_start,

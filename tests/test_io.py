@@ -188,9 +188,8 @@ class TestNativeSkip:
         p = write_fastq(
             tmp_path / "s.fq", [mkseq(rng, 24) for _ in range(50)]
         )
-        it = native_decode_fastq(p, 16, 24, skip_reads=100)
         with pytest.raises(IOError, match="cannot skip"):
-            collect(it)
+            collect(native_decode_fastq(p, 16, 24, skip_reads=100))
 
     def test_true_length_reported(self, tmp_path):
         rng = np.random.default_rng(8)

@@ -64,9 +64,14 @@ def main():
     text = prepare_pallas_text(idx, CAP)
     codes = jnp.asarray(c1)
     jlens = jnp.asarray(lens)
-    kw = dict(k=idx.k, cand_cap=CAP, max_mmps=4, max_steps=4,
+    # match the production defaults: full scan budget (reference
+    # semantics), nip skip rule, uniform-length static-flip lane build
+    steps = int(os.environ.get("PROF_STEPS", c1.shape[1]))
+    kw = dict(k=idx.k, cand_cap=CAP, max_mmps=4, max_steps=steps,
               ht_bits=int(idx.kmer_ht["ht_bits"]),
               ht_probes=int(idx.kmer_ht["max_probes"]),
+              skip_jump=(os.environ.get("PROF_SKIP", "nip") == "jump"),
+              uniform_len=int(lens[0]),
               interpret=False)
 
     def sync(x):
