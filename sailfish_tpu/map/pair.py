@@ -124,7 +124,8 @@ def _pe_compat(
     jax.jit,
     static_argnames=(
         "paired_end", "cand_cap", "max_read_occs", "allow_orphans",
-        "allow_dovetail", "ignore_compat", "enforce_compat", "return_slots",
+        "allow_dovetail", "ignore_compat", "enforce_compat",
+        "strict_intersect", "return_slots",
     ),
 )
 def merge_and_collapse(
@@ -139,6 +140,7 @@ def merge_and_collapse(
     allow_dovetail: bool,
     ignore_compat: bool,
     enforce_compat: bool,
+    strict_intersect: bool = False,
     return_slots: bool = False,
 ):
     """Fragment-level merge + label formation.
@@ -237,8 +239,19 @@ def merge_and_collapse(
         ap = any_paired[:, None]
 
         # a fragment with any paired hit uses exactly its paired (left)
-        # slots; otherwise every kept slot is an orphan
+        # slots; otherwise kept slots become orphans.  Orphan gating
+        # mirrors the reference merge pair (SailfishQuantify.cpp:204-213):
+        # the default (mergeLeftRightHitsFuzzy) orphan-reports only when
+        # exactly ONE end mapped — both ends mapping to disjoint
+        # transcript sets leaves the fragment unmapped; --strictIntersect
+        # (mergeLeftRightHits) instead reports BOTH ends' mappings as
+        # orphans when the intersection is empty.
         orphans = keep if allow_orphans else jnp.zeros_like(keep)
+        if not strict_intersect:
+            left_has = (keep & (side == 0)).any(axis=1)
+            right_has = (keep & (side == 1)).any(axis=1)
+            one_end_only = ~(left_has & right_has)
+            orphans = orphans & one_end_only[:, None]
         valid = jnp.where(ap, paired_l, orphans)
         status = jnp.where(
             ap, PAIRED, jnp.where(side == 0, LEFT, RIGHT)

@@ -632,6 +632,7 @@ def map_oriented_lanes_pallas(
     phases: str = "abc",
     postpass: bool = True,
     uniform_len: int | None = None,
+    n_text: int | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -653,7 +654,9 @@ def map_oriented_lanes_pallas(
         text_pallas["ht_rows"],
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
-        n_text=text_pallas["n_text"], interpret=interpret,
+        n_text=(n_text if n_text is not None
+                else text_pallas["n_text"]),
+        interpret=interpret,
         phases=phases, postpass=postpass, uniform_len=uniform_len,
     )
 

@@ -106,14 +106,15 @@ def _slice_rows(mat, *, u: int):
     static_argnames=(
         "paired_end", "cand_cap", "max_read_occs", "allow_orphans",
         "allow_dovetail", "ignore_compat", "enforce_compat",
-        "max_frag_len", "seq_on", "gc_on",
+        "strict_intersect", "max_frag_len", "seq_on", "gc_on",
     ),
 )
 def _fused_tail(
     h1f, h1r, h2f, h2r, l1, l2, orient, strand, se_flags, bias_text,
     *,
     paired_end, cand_cap, max_read_occs, allow_orphans, allow_dovetail,
-    ignore_compat, enforce_compat, max_frag_len, seq_on, gc_on,
+    ignore_compat, enforce_compat, strict_intersect, max_frag_len,
+    seq_on, gc_on,
 ):
     """merge + collapse + reductions under ONE jit (one dispatch)."""
     out = merge_and_collapse(
@@ -121,7 +122,8 @@ def _fused_tail(
         paired_end=paired_end, cand_cap=cand_cap,
         max_read_occs=max_read_occs, allow_orphans=allow_orphans,
         allow_dovetail=allow_dovetail, ignore_compat=ignore_compat,
-        enforce_compat=enforce_compat, return_slots=(seq_on or gc_on),
+        enforce_compat=enforce_compat, strict_intersect=strict_intersect,
+        return_slots=(seq_on or gc_on),
     )
     uniq, num_u = collapse_unique(
         out["h1"], out["h2"], out["mapped"], out["label_len"]
@@ -178,6 +180,7 @@ class DeviceMapperBackend:
         self.prefix_bases = index.prefix_bases
         self._index = index
         self._pallas_text = None
+        self._pallas_n_text = None
         pad = np.zeros(_PACK_PAD, dtype=np.uint32)
         pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
         self.text = {
@@ -206,6 +209,22 @@ class DeviceMapperBackend:
                 "txp_offsets": self.text["txp_offsets"],
                 "txp_lens": jnp.asarray(index.txp_lens, jnp.int32),
             }
+            if opts.gc_bias_correct and opts.gc_samp_factor > 1:
+                from ..stats.bias import build_sampled_gc
+
+                sgc = build_sampled_gc(index, opts.gc_samp_factor)
+                self.bias_text.update({
+                    "sgc_step": jnp.float32(sgc["step"]),
+                    "sgc_sc": jnp.asarray(sgc["sc"], jnp.float32),
+                    "sgc_samp_off": jnp.asarray(sgc["samp_off"], jnp.int32),
+                    "sgc_n_samp": jnp.asarray(sgc["n_samp"], jnp.int32),
+                    "sgc_gc_frac_len": jnp.asarray(
+                        sgc["gc_frac_len"], jnp.float32
+                    ),
+                    "sgc_last_regular": jnp.asarray(
+                        sgc["last_regular"], jnp.int32
+                    ),
+                })
             self._bias_flags = (opts.bias_correct, opts.gc_bias_correct)
         self.use_hash = index.kmer_ht is not None
         self.ht_bits = 0
@@ -237,26 +256,43 @@ class DeviceMapperBackend:
             jnp.asarray(se_flags),
         )
 
-    def _map_lanes(self, codes: np.ndarray, lens: np.ndarray,
-                   uniform_len: int | None = None):
-        opts = self.opts
-        scan_budget = opts.effective_scan_steps(codes.shape[1])
-        if opts.kernel == "pallas":
-            from .pallas_kernel import map_oriented_lanes_pallas
-
+    def _text_arg(self):
+        """The index-side device arrays for the active kernel, passed as
+        explicit jit ARGUMENTS (never closure-captured: captured device
+        arrays are serialized into the HLO as constants, and a ~300MB
+        index inside the program body overflows remote-compile request
+        limits and bloats every compile)."""
+        if self.opts.kernel == "pallas":
             if self._pallas_text is None:
                 from .pallas_kernel import prepare_pallas_text
 
-                self._pallas_text = prepare_pallas_text(
-                    self._index, opts.hit_capacity
+                pt = prepare_pallas_text(
+                    self._index, self.opts.hit_capacity
                 )
+                # n_text is a STATIC shape parameter of the pallas
+                # kernel; keep it out of the traced pytree (a traced
+                # scalar can't be captured by the kernel body)
+                self._pallas_n_text = pt.pop("n_text")
+                self._pallas_text = pt
+            return self._pallas_text
+        return self.text
+
+    def _map_lanes(self, codes: np.ndarray, lens: np.ndarray,
+                   uniform_len: int | None = None, text: dict | None = None):
+        opts = self.opts
+        scan_budget = opts.effective_scan_steps(codes.shape[1])
+        if text is None:
+            text = self._text_arg()
+        if opts.kernel == "pallas":
+            from .pallas_kernel import map_oriented_lanes_pallas
+
             ul = uniform_len
             if ul is None and isinstance(lens, np.ndarray):
                 live = lens[lens > 0]
                 ul = (int(live[0])
                       if live.size and (live == live[0]).all() else None)
             hits = map_oriented_lanes_pallas(
-                self._pallas_text,
+                text,
                 jnp.asarray(codes), jnp.asarray(lens),
                 k=self.k,
                 cand_cap=opts.hit_capacity,
@@ -267,13 +303,14 @@ class DeviceMapperBackend:
                 skip_jump=(opts.mmp_skip == "jump"),
                 interpret=(jax.default_backend() == "cpu"),
                 uniform_len=ul,
+                n_text=self._pallas_n_text,
             )
         else:
             lanes = make_oriented_lanes(
                 jnp.asarray(codes), jnp.asarray(lens), self.prefix_bases
             )
             hits = map_oriented_lanes(
-                self.text, lanes,
+                text, lanes,
                 k=self.k,
                 prefix_bases=self.prefix_bases,
                 cand_cap=opts.hit_capacity,
@@ -303,14 +340,17 @@ class DeviceMapperBackend:
         pl[:n] = lens
         return pc, pl
 
-    def _tail(self, hits1, hits2, l1, l2, expected, *, paired_end: bool):
+    def _tail(self, hits1, hits2, l1, l2, expected, *, paired_end: bool,
+              bias_text: dict | None = None):
         opts = self.opts
         orient, strand, se_flags = self._fmt_args(expected)
         seq_on, gc_on = self._bias_flags
+        if bias_text is None:
+            bias_text = self.bias_text if (seq_on or gc_on) else {}
         return _fused_tail(
             hits1[0], hits1[1], hits2[0], hits2[1], l1, l2,
             orient, strand, se_flags,
-            self.bias_text if (seq_on or gc_on) else {},
+            bias_text,
             paired_end=paired_end,
             cand_cap=opts.hit_capacity,
             max_read_occs=opts.max_read_occs,
@@ -318,6 +358,7 @@ class DeviceMapperBackend:
             allow_dovetail=opts.allow_dovetail,
             ignore_compat=opts.ignore_lib_compat,
             enforce_compat=opts.enforce_lib_compat,
+            strict_intersect=opts.strict_intersect,
             max_frag_len=opts.max_frag_len,
             seq_on=seq_on, gc_on=gc_on,
         )
@@ -363,15 +404,19 @@ class DeviceMapperBackend:
         return (int(live[0])
                 if live.size and (live == live[0]).all() else None)
 
+    def _bias_text_arg(self):
+        seq_on, gc_on = self._bias_flags
+        return self.bias_text if (seq_on or gc_on) else {}
+
     def _pe_step(self, expected: LibraryFormat, ul1, ul2):
         key = (expected.format_id(), ul1, ul2)
         fn = self._pe_steps.get(key)
         if fn is None:
-            def step(c1, l1, c2, l2):
-                h1 = self._map_lanes(c1, l1, uniform_len=ul1)
-                h2 = self._map_lanes(c2, l2, uniform_len=ul2)
+            def step(text, bias_text, c1, l1, c2, l2):
+                h1 = self._map_lanes(c1, l1, uniform_len=ul1, text=text)
+                h2 = self._map_lanes(c2, l2, uniform_len=ul2, text=text)
                 return self._tail(h1, h2, l1, l2, expected,
-                                  paired_end=True)
+                                  paired_end=True, bias_text=bias_text)
 
             fn = jax.jit(step)
             self._pe_steps[key] = fn
@@ -383,7 +428,8 @@ class DeviceMapperBackend:
         c2, l2 = self._pad_batch(b2.codes, b2.lens)
         res = self._pe_step(
             expected, self._uniform_len(l1), self._uniform_len(l2)
-        )(jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2),
+        )(self._text_arg(), self._bias_text_arg(),
+          jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2),
           jnp.asarray(l2))
         return (res, n)
 
@@ -391,10 +437,10 @@ class DeviceMapperBackend:
         key = (expected.format_id(), ul1, "se")
         fn = self._pe_steps.get(key)
         if fn is None:
-            def step(c1, l1):
-                h1 = self._map_lanes(c1, l1, uniform_len=ul1)
+            def step(text, bias_text, c1, l1):
+                h1 = self._map_lanes(c1, l1, uniform_len=ul1, text=text)
                 return self._tail(h1, h1, l1, l1, expected,
-                                  paired_end=False)
+                                  paired_end=False, bias_text=bias_text)
 
             fn = jax.jit(step)
             self._pe_steps[key] = fn
@@ -404,6 +450,7 @@ class DeviceMapperBackend:
         n = b.count
         c1, l1 = self._pad_batch(b.codes, b.lens)
         res = self._se_step(expected, self._uniform_len(l1))(
+            self._text_arg(), self._bias_text_arg(),
             jnp.asarray(c1), jnp.asarray(l1)
         )
         return (res, n)

@@ -72,6 +72,28 @@ def _fragment_em_update(label, label_len, alpha, eff_lens, num_txps: int):
     )
 
 
+def eq_hash_count_table(h1, h2, mapped, *, bits: int = 16):
+    """Fixed-shape eq-class count table for in-graph cross-host merging.
+
+    Each mapped fragment's 64-bit label hash (h1, h2 — the same dual
+    32-bit hash the host accumulator keys on, map/pair.py) indexes a
+    2^bits-slot count table via its low bits; psum over the data axis
+    then merges class counts across hosts WITHOUT materializing
+    variable-length labels in-graph (the host path fetches exact labels
+    once per distinct class; the reference's analog is the concurrent
+    upsert in include/EquivalenceClassBuilder.hpp:90-108).  Returns
+    (counts[2^bits] i32, checksum[2^bits] i32): the checksum slot holds
+    the XOR-accumulated h2 of its occupants so collisions across hosts
+    are detectable by the caller."""
+    slot = jnp.where(mapped, h1 & jnp.int32((1 << bits) - 1), 0)
+    ones = jnp.where(mapped, 1, 0)
+    counts = jax.ops.segment_sum(ones, slot, num_segments=1 << bits)
+    checksum = jax.ops.segment_sum(
+        jnp.where(mapped, h2, 0), slot, num_segments=1 << bits
+    )
+    return counts.astype(jnp.int32), checksum.astype(jnp.int32)
+
+
 def distributed_quant_step(
     mesh: Mesh,
     text: dict,
@@ -92,7 +114,9 @@ def distributed_quant_step(
     """Build the jitted multi-chip per-batch step.
 
     Returns fn(codes1, lens1, codes2, lens2, alpha) ->
-      (alpha_out, fld_hist, num_mapped) — all replicated outputs.
+      (alpha_out, fld_hist, num_mapped, eq_counts, eq_checksum) — all
+    replicated outputs; eq_counts/eq_checksum are the psum-merged hashed
+    eq-class count table (see eq_hash_count_table).
     """
     from ..config import QuantOpts
     from ..libformat import parse_library_format
@@ -141,6 +165,7 @@ def distributed_quant_step(
             allow_dovetail=opts.allow_dovetail,
             ignore_compat=opts.ignore_lib_compat,
             enforce_compat=opts.enforce_lib_compat,
+            strict_intersect=opts.strict_intersect,
         )
 
         partial_alpha = _fragment_em_update(
@@ -155,14 +180,22 @@ def distributed_quant_step(
         hist = jnp.bincount(fl, length=max_frag_len + 1)[:max_frag_len]
         fld = jax.lax.psum(hist, "data")
         n_mapped = jax.lax.psum(out["mapped"].sum(), "data")
-        return alpha_out, fld, n_mapped
+        # in-graph eq-class count merge across the data axis (the
+        # multi-host analog of the host-side mergeeq): hashed count
+        # vectors ride one psum collective
+        eq_counts, eq_check = eq_hash_count_table(
+            out["h1"], out["h2"], out["mapped"]
+        )
+        eq_counts = jax.lax.psum(eq_counts, "data")
+        eq_check = jax.lax.psum(eq_check, "data")
+        return alpha_out, fld, n_mapped, eq_counts, eq_check
 
     fn = jax.jit(
         jax.shard_map(
             shard_step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P("data")),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )
     )

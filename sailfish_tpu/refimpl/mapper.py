@@ -247,19 +247,25 @@ class RefMapper:
         else:
             # orphans, in transcript order, left hits before right on ties
             # (reference sorts/merges jointHits by transcript id,
-            # src/SailfishQuantify.cpp:231-246)
+            # src/SailfishQuantify.cpp:231-246).  Gating mirrors the
+            # reference's merge pair (:204-213): the default fuzzy merge
+            # orphan-reports only when exactly ONE end mapped;
+            # --strictIntersect reports BOTH ends' mappings as orphans
+            # when the intersection is empty.
             orphans: list[Hit] = []
-            for t, h in lhits.items():
-                orphans.append(
-                    Hit(t, h.pos, h.fwd, h.mlen, MateStatus.PAIRED_END_LEFT,
-                        read_len=len1)
-                )
-            for t, h in rhits.items():
-                orphans.append(
-                    Hit(t, h.pos, h.fwd, h.mlen, MateStatus.PAIRED_END_RIGHT,
-                        read_len=len2)
-                )
-            orphans.sort(key=lambda h: (h.txp, h.mate_status))
+            both_ends = bool(lhits) and bool(rhits)
+            if opts.strict_intersect or not both_ends:
+                for t, h in lhits.items():
+                    orphans.append(
+                        Hit(t, h.pos, h.fwd, h.mlen,
+                            MateStatus.PAIRED_END_LEFT, read_len=len1)
+                    )
+                for t, h in rhits.items():
+                    orphans.append(
+                        Hit(t, h.pos, h.fwd, h.mlen,
+                            MateStatus.PAIRED_END_RIGHT, read_len=len2)
+                    )
+                orphans.sort(key=lambda h: (h.txp, h.mate_status))
             if not opts.allow_orphans:
                 orphans = []
             joint = orphans

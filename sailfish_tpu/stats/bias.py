@@ -36,6 +36,98 @@ TRUNC = K_BIAS      # reference `trunc = K` (:696)
 MIN_ALPHA = 1e-8
 
 
+def build_sampled_gc(index, step: int) -> dict:
+    """Sampled per-transcript inclusive GC prefixes — the --gcSizeSamp
+    memory/speed trade (reference Transcript::computeGCContentSampled_,
+    include/Transcript.hpp:156-181): every `step`-th inclusive count is
+    stored, plus a final sample at RefLength-1 when the last regular
+    sample falls short of it.
+
+    Returns numpy arrays usable from numpy AND jax (gc_count_interp):
+      sc[S]           float64 sampled inclusive counts, all txps packed
+      samp_off[T]     int64 first sample index of each transcript
+      n_samp[T]       int64 samples per transcript
+      gc_frac_len[T]  float64 (RefLength-1)/step
+      last_regular[T] int64 ceil(gc_frac_len)
+    """
+    L = index.txp_lens.astype(np.int64)
+    T = len(L)
+    offsets = index.txp_offsets.astype(np.int64)
+    is_gc = ((index.codes == dna.G) | (index.codes == dna.C)).astype(np.int64)
+    cum = np.cumsum(is_gc)
+    excl = cum - is_gc  # exclusive global prefix
+
+    n_reg = (L + step - 1) // step
+    extra = (((n_reg - 1) * step) < (L - 1)).astype(np.int64)
+    n_samp = n_reg + extra
+    samp_off = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(n_samp, out=samp_off[1:])
+    tot = int(samp_off[-1])
+
+    t_of = np.repeat(np.arange(T, dtype=np.int64), n_samp)
+    j_of = np.arange(tot, dtype=np.int64) - samp_off[t_of]
+    is_final = (extra[t_of] == 1) & (j_of == n_samp[t_of] - 1)
+    local = np.where(is_final, L[t_of] - 1, j_of * step)
+    gpos = offsets[t_of] + local
+    # per-transcript INCLUSIVE count at `local`
+    sc = (excl[np.clip(gpos + 1, 0, len(excl) - 1)]
+          - excl[offsets[t_of]]).astype(np.float64)
+    sc[gpos + 1 >= len(excl)] = (cum[-1] - excl[offsets[t_of]])[
+        gpos + 1 >= len(excl)
+    ]
+    gc_frac_len = (L - 1).astype(np.float64) / step
+    last_regular = np.ceil(gc_frac_len).astype(np.int64)
+    return {
+        "step": step,
+        "sc": sc,
+        "samp_off": samp_off[:-1],
+        "n_samp": n_samp,
+        "gc_frac_len": gc_frac_len,
+        "last_regular": last_regular,
+    }
+
+
+def gc_count_interp(sgc: dict, t, p, ref_len, xp=np):
+    """Transcript::gcCountInterp_ (include/Transcript.hpp:124-155),
+    ported verbatim INCLUDING its reversed-lerp quirk: the weight
+    `lambda` (the fraction of the way toward the NEXT sample) multiplies
+    the PREVIOUS sample's count, so values interpolate backwards between
+    samples.  Reproduced deliberately — behavior parity beats fixing the
+    reference's arithmetic.  Vectorized; xp is numpy or jax.numpy;
+    t/p/ref_len are same-shaped integer arrays (or scalars)."""
+    sc = sgc["sc"]
+    idt = xp.asarray(sgc["samp_off"]).dtype
+    off = xp.asarray(sgc["samp_off"])[t]
+    n = xp.asarray(sgc["n_samp"])[t]
+    last_reg = xp.asarray(sgc["last_regular"])[t]
+    frac_len = xp.asarray(sgc["gc_frac_len"])[t]
+    sc = xp.asarray(sc)
+    hi = sc.shape[0] - 1
+
+    frac_p = xp.asarray(p, sc.dtype) / sgc["step"]
+    samp_ind = xp.floor(frac_p)
+    use_last = samp_ind >= xp.asarray(last_reg, sc.dtype)
+    next_ind = xp.where(use_last, n - 1, samp_ind.astype(idt) + 1)
+    frac_next = xp.where(use_last, frac_len, next_ind.astype(sc.dtype))
+    denom = frac_next - samp_ind
+    lam = (frac_p - samp_ind) / xp.where(denom != 0, denom, 1.0)
+    si = xp.clip(off + samp_ind.astype(idt), 0, hi)
+    ni = xp.clip(off + next_ind, 0, hi)
+    v = lam * sc[si] + (1.0 - lam) * sc[ni]
+    # p == RefLength-1: the final sample's value, no interpolation
+    return xp.where(xp.asarray(p) == xp.asarray(ref_len) - 1,
+                    sc[xp.clip(off + n - 1, 0, hi)], v)
+
+
+def gc_frac_sampled(sgc: dict, t, s, e, ref_len, xp=np):
+    """Transcript::gcFrac for the sampled path (gcStep_ > 1,
+    include/Transcript.hpp:85-95): interpolated counts at both closed
+    endpoints, lrint rounding."""
+    gc = (gc_count_interp(sgc, t, e, ref_len, xp)
+          - gc_count_interp(sgc, t, s, ref_len, xp))
+    return xp.rint(100.0 * gc / (xp.asarray(e) - xp.asarray(s) + 1))
+
+
 class BiasState:
     """Observation-side state (the ReadExperiment bias fields)."""
 
@@ -47,6 +139,7 @@ class BiasState:
         self.expected_seq_bias = np.ones(NUM_KMER_BINS, dtype=np.float64)
         self.expected_gc = np.ones(101, dtype=np.float64)
         self._gc_prefix_cache: dict[int, np.ndarray] = {}
+        self._sgc = None  # sampled-GC tables (gc_samp_factor > 1)
 
     # ---------- helpers ----------
 
@@ -63,7 +156,17 @@ class BiasState:
             self._gc_prefix_cache[t] = cached
         return cached
 
+    def _sampled_gc(self, index) -> dict:
+        if self._sgc is None:
+            self._sgc = build_sampled_gc(index, self.opts.gc_samp_factor)
+        return self._sgc
+
     def gc_frac(self, index, t: int, s: int, e: int) -> int:
+        if self.opts.gc_samp_factor > 1:
+            fr = gc_frac_sampled(
+                self._sampled_gc(index), t, s, e, int(index.txp_lens[t])
+            )
+            return int(np.clip(fr, 0, 100))
         gcc = self._gc_inclusive_prefix(index, t)
         gc = int(gcc[e]) - int(gcc[s])
         return int(np.rint(100.0 * gc / (e - s + 1)))
@@ -232,9 +335,25 @@ def bias_observe_device(slots, bias_text, lens1, lens2, *, gc_on: bool,
         start = jnp.minimum(pos, slots["mpos"])
         stop = start + slots["frag_len"]
         ok = valid & is_p & (start > 0) & (stop < ref_len)
-        gs = jnp.clip(off + start + 1, 0, gc_excl.shape[0] - 1)
-        ge = jnp.clip(off + stop + 1, 0, gc_excl.shape[0] - 1)
-        gc = (gc_excl[ge] - gc_excl[gs]).astype(jnp.float32)
+        if "sgc_sc" in bias_text:
+            # sampled+interpolated counts (--gcSizeSamp > 1), the device
+            # twin of gc_frac_sampled
+            sgc = {
+                "step": bias_text["sgc_step"],
+                "sc": bias_text["sgc_sc"],
+                "samp_off": bias_text["sgc_samp_off"],
+                "n_samp": bias_text["sgc_n_samp"],
+                "gc_frac_len": bias_text["sgc_gc_frac_len"],
+                "last_regular": bias_text["sgc_last_regular"],
+            }
+            st = jnp.where(ok, txp, 0)
+            gc = (gc_count_interp(sgc, st, stop, ref_len, xp=jnp)
+                  - gc_count_interp(sgc, st, start, ref_len, xp=jnp)
+                  ).astype(jnp.float32)
+        else:
+            gs = jnp.clip(off + start + 1, 0, gc_excl.shape[0] - 1)
+            ge = jnp.clip(off + stop + 1, 0, gc_excl.shape[0] - 1)
+            gc = (gc_excl[ge] - gc_excl[gs]).astype(jnp.float32)
         frac = jnp.rint(
             100.0 * gc / jnp.maximum(stop - start + 1, 1).astype(jnp.float32)
         ).astype(jnp.int32)
@@ -341,10 +460,24 @@ def update_effective_lengths(
         excl = cum - is_gc
         gc_incl = cum - excl[offsets[tpos]]  # inclusive prefix within txp
 
-        def gc_frac_vec(gs, ge):
-            """gcFrac over global positions (same transcript assumed)."""
-            gc = gc_incl[ge] - gc_incl[gs]
-            return np.rint(100.0 * gc / (ge - gs + 1)).astype(np.int64)
+        if opts.gc_samp_factor > 1:
+            # sampled+interpolated gcFrac (--gcSizeSamp; the reference
+            # dispatches on gcStep_ inside Transcript::gcFrac,
+            # include/Transcript.hpp:85-95, so EVERY gcFrac call —
+            # observation and expected-GC — uses the sampled tables)
+            sgc = build_sampled_gc(index, opts.gc_samp_factor)
+
+            def gc_frac_vec(gs, ge):
+                t = tpos[gs]
+                fr = gc_frac_sampled(
+                    sgc, t, gs - offsets[t], ge - offsets[t], ref_lens[t]
+                )
+                return np.clip(fr, 0, 100).astype(np.int64)
+        else:
+            def gc_frac_vec(gs, ge):
+                """gcFrac over global positions (same transcript assumed)."""
+                gc = gc_incl[ge] - gc_incl[gs]
+                return np.rint(100.0 * gc / (ge - gs + 1)).astype(np.int64)
 
         # ---- expected GC dist (pass A, :747-759) ----
         m_pos = (local_i <= rl_pos - TRUNC - 1) & (contrib_pos > 0)

@@ -61,14 +61,20 @@ def test_distributed_step_matches_single_device():
             use_hash=backend.use_hash, ht_probes=backend.ht_probes,
             ht_bits=backend.ht_bits,
         )
-        alpha, fld, n_mapped = step(
+        alpha, fld, n_mapped, eqc, eqx = step(
             jnp.asarray(c1), jnp.asarray(lens), jnp.asarray(c2),
             jnp.asarray(lens), alpha0,
         )
-        results.append((np.asarray(alpha), np.asarray(fld), int(n_mapped)))
+        results.append((np.asarray(alpha), np.asarray(fld), int(n_mapped),
+                        np.asarray(eqc), np.asarray(eqx)))
 
-    (a1, f1, m1), (a8, f8, m8) = results
+    (a1, f1, m1, e1, x1), (a8, f8, m8, e8, x8) = results
     assert m1 == m8 > 0
     np.testing.assert_array_equal(f1, f8)
     np.testing.assert_allclose(a1, a8, rtol=1e-5)
     assert abs(a1.sum() - m1) < 1e-2
+    # in-graph eq-class merge: the psum-merged hashed count table must
+    # be mesh-size invariant and cover every mapped fragment
+    np.testing.assert_array_equal(e1, e8)
+    np.testing.assert_array_equal(x1, x8)
+    assert int(e1.sum()) == m1

@@ -74,3 +74,62 @@ def test_device_matches_oracle_varied_lengths(toy_world):
     bd = dev.map_pe_batch(b1, b2, exp)
     assert as_dict(br) == as_dict(bd)
     np.testing.assert_array_equal(br.mapped, bd.mapped)
+
+
+def test_paralog_family_crosses_hit_capacity():
+    """Repetitive-reference differential test (VERDICT round-1 #3): 56
+    near-identical paralogs mean a read's SA interval far exceeds a
+    small hit_capacity.  Device and oracle must agree EXACTLY across
+    the capacity boundary — both apply the same per-probe candidate
+    envelope (reads whose interval overflows are dropped like
+    > --maxReadOcc, config.py hit_capacity) — and with a capacity that
+    covers the family, multi-mapping reads must survive with the full
+    family in their label (reference keeps anything up to maxReadOcc,
+    src/SailfishQuantify.cpp:217,1143)."""
+    from sailfish_tpu import dna
+    from sailfish_tpu.index.builder import build_index
+
+    rng = np.random.default_rng(42)
+    anc = rng.integers(0, 4, 800).astype(np.uint8)
+    seqs, names = [], []
+    for c in range(56):  # > 2x the small capacity below
+        s = anc.copy()
+        # ~0.3% divergence: a few private SNPs per copy
+        for p in rng.integers(0, len(s), 3):
+            s[p] = (s[p] + 1 + rng.integers(0, 3)) % 4
+        seqs.append(s)
+        names.append(f"par{c}")
+    # plus unique background transcripts
+    for i in range(8):
+        seqs.append(rng.integers(0, 4, 900).astype(np.uint8))
+        names.append(f"bg{i}")
+    idx = build_index(names, seqs, k=31)
+
+    exp = parse_library_format("IU")
+    r1, r2 = [], []
+    for i in range(64):
+        t = int(rng.integers(0, len(seqs)))
+        s = seqs[t]
+        fl = int(rng.integers(160, 300))
+        p = int(rng.integers(0, len(s) - fl))
+        frag = s[p : p + fl]
+        r1.append(frag[:50].copy())
+        r2.append(dna.revcomp(frag[-50:]).copy())
+    b1, b2 = to_batch(r1), to_batch(r2)
+
+    results = {}
+    for cap in (16, 64):  # 16 < family size < 64
+        opts = QuantOpts(batch_size=64, hit_capacity=cap)
+        ref = RefMapperBackend(idx, opts)
+        dev = DeviceMapperBackend(idx, opts)
+        br = ref.map_pe_batch(b1, b2, exp)
+        bd = dev.map_pe_batch(b1, b2, exp)
+        assert as_dict(br) == as_dict(bd), cap
+        np.testing.assert_array_equal(br.mapped, bd.mapped)
+        np.testing.assert_array_equal(br.num_joint, bd.num_joint)
+        results[cap] = br
+    # the boundary is actually crossed: the small capacity drops
+    # family reads that the big capacity keeps with wide labels
+    assert results[16].mapped.sum() < results[64].mapped.sum()
+    wide = max(len(lbl) for lbl in results[64].labels)
+    assert wide > 16

@@ -165,3 +165,38 @@ def test_fast_path_matches_detail(toy_world, backends):
         assert (bs.num_fwd, bs.num_rc) == (br.num_fwd, br.num_rc)
     assert dict(acc._counts) == detail
     assert fld_n == int(fld.sum())
+
+
+def test_strict_intersect_orphan_recovery(toy_world):
+    """Chimeric fragments (mate1 from one transcript, mate2 from a
+    disjoint one): the default fuzzy merge leaves them unmapped while
+    --strictIntersect reports BOTH ends' hits as orphans (reference
+    src/SailfishQuantify.cpp:204-213 + the --strictIntersect help text);
+    device and oracle must agree under both rules."""
+    exp = parse_library_format("IU")
+    seqs = toy_world["seqs"]
+    rng = np.random.default_rng(11)
+    r1, r2 = [], []
+    for i in range(16):
+        a, b = 1, 4  # transcripts without the shared segment
+        sa, sb = seqs[a], seqs[b]
+        p = int(rng.integers(0, len(sa) - 50))
+        q = int(rng.integers(0, len(sb) - 50))
+        r1.append(sa[p : p + 50].copy())
+        r2.append(dna.revcomp(sb[q : q + 50]).copy())
+    b1, b2 = to_batch(r1), to_batch(r2)
+
+    for strict in (False, True):
+        opts = QuantOpts(batch_size=16, strict_intersect=strict)
+        ref = RefMapperBackend(toy_world["idx"], opts)
+        dev = DeviceMapperBackend(toy_world["idx"], opts)
+        br = ref.map_pe_batch(b1, b2, exp)
+        bd = dev.map_pe_batch(b1, b2, exp)
+        assert as_dict(br) == as_dict(bd)
+        assert np.array_equal(br.mapped, bd.mapped)
+        if strict:
+            # both ends' transcripts show up as a joint orphan label
+            assert br.mapped.all()
+            assert all(1 in lbl and 4 in lbl for lbl in br.labels)
+        else:
+            assert not br.mapped.any()
