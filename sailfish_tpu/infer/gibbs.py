@@ -8,13 +8,23 @@ of every class's allocation from a multinomial conditioned on the
 current global per-transcript counts (:96-186); priorAlpha = 1e-8
 (:215); emitted samples are integer per-transcript count vectors.
 
-TPU redesign (documented divergence): the reference resamples classes
-SEQUENTIALLY within a round, so class j sees the txp counts already
-updated by classes < j.  Here every class resamples in parallel
-conditioned on the post-subtraction snapshot of the global counts — a
-synchronous ("blocked") variant of the same chain.  Chains (the
-reference parallelizes via TBB ranges, :223-270) map to a vmapped chain
-axis; each chain emits its share of samples sequentially.
+TPU redesign — CHROMATIC systematic scan: the reference resamples
+classes SEQUENTIALLY within a round, so class j sees the txp counts
+already updated by classes < j.  A naive all-at-once parallel update
+(snapshot conditioning) is NOT the same chain — it subtracts every
+class's resample mass before any conditional is evaluated, which
+flattens the conditionals and measurably overdisperses the posterior
+(~2x the std on toy configs).  Instead the class-conflict graph
+(classes sharing a transcript) is greedily colored on host
+(color_classes); each round sweeps the colors in order, resampling all
+classes of one color in parallel conditioned on the CURRENT counts.
+Within a color no transcript is shared, so those conditionals are
+exactly independent — the sweep is a valid systematic-scan Gibbs
+update targeting the same posterior as the reference's sequential
+chain (validated moment-by-moment against a faithful sequential port
+in tests/test_samplers.py).  Chains (the reference parallelizes via
+TBB ranges, :223-270) map to a vmapped chain axis; each chain emits
+its share of samples sequentially.
 
 Per-class multinomials are drawn by a binomial chain along each class's
 members (scan over the max class size, all classes in parallel).
@@ -75,33 +85,46 @@ def _class_multinomial(key, n_c, probs_m, offsets, sizes, com,
 
 
 @partial(jax.jit, static_argnames=("max_size", "num_classes", "num_txps",
-                                   "num_members", "inner_rounds"))
+                                   "num_members", "inner_rounds",
+                                   "num_colors"))
 def _gibbs_rounds(
-    key, txp_counts, count_m, offsets, sizes, aux_m, tid_m,
+    key, txp_counts, count_m, offsets, sizes, aux_m, tid_m, colors,
     *,
     max_size: int,
     num_classes: int,
     num_txps: int,
     num_members: int,
     inner_rounds: int,
+    num_colors: int,
 ):
     M = num_members
     com = _class_of(offsets, M)
 
-    def one_round(carry, _):
+    def one_color(carry, g):
+        """Resample only the classes of color `g`, conditioned on the
+        CURRENT global counts — classes within a color share no
+        transcript, so their conditionals are exactly independent and
+        the color sweep is a systematic-scan (Gauss–Seidel) Gibbs
+        update, not a snapshot approximation."""
         key, txp_counts, count_m = carry
         key, kf, km = jax.random.split(key, 3)
+        # singletons NEVER resample (reference groupSize > 1 guard,
+        # :129) — including them would subtract their mass from the
+        # conditioning counts and flatten co-colored classes'
+        # conditionals (measured ~2x posterior overdispersion)
+        sel_c = (colors == g) & (sizes > 1)
+        sel_m = sel_c[com]
         frac = jax.random.uniform(
             kf, (num_classes,), minval=0.25, maxval=0.75,
             dtype=count_m.dtype,
         )
-        resamp_m = jnp.round(frac[com] * count_m)
+        resamp_m = jnp.where(sel_m, jnp.round(frac[com] * count_m), 0.0)
         n_c = jax.ops.segment_sum(resamp_m, com, num_segments=num_classes)
         count_rest = count_m - resamp_m
-        txp_snap = txp_counts - jax.ops.segment_sum(
+        txp_cur = txp_counts - jax.ops.segment_sum(
             resamp_m, tid_m, num_segments=num_txps
         )
-        probs_m = (_PRIOR + txp_snap[tid_m]) * aux_m
+        probs_m = (_PRIOR + txp_cur[tid_m]) * aux_m
         denom = jax.ops.segment_sum(probs_m, com, num_segments=num_classes)
         ok = denom > 1e-30
         draws = _class_multinomial(
@@ -111,15 +134,48 @@ def _gibbs_rounds(
         # degenerate classes put their resampled mass back unchanged
         draws = jnp.where(ok[com], draws, resamp_m)
         count_m = count_rest + draws
-        txp_counts = txp_snap + jax.ops.segment_sum(
+        txp_counts = txp_cur + jax.ops.segment_sum(
             draws, tid_m, num_segments=num_txps
         )
         return (key, txp_counts, count_m), None
+
+    def one_round(carry, _):
+        carry, _ = jax.lax.scan(
+            one_color, carry, jnp.arange(num_colors, dtype=jnp.int32)
+        )
+        return carry, None
 
     (key, txp_counts, count_m), _ = jax.lax.scan(
         one_round, (key, txp_counts, count_m), None, length=inner_rounds
     )
     return txp_counts, count_m
+
+
+def color_classes(eq: EqClasses) -> np.ndarray:
+    """Greedy coloring of the class-conflict graph: two classes
+    conflict when they share a transcript (ambiguous classes containing
+    one transcript form a clique, so num_colors >= the max number of
+    ambiguous classes any transcript belongs to).  Singleton classes
+    never resample and all take color 0."""
+    C = eq.num_classes
+    colors = np.zeros(C, dtype=np.int32)
+    sizes = eq.class_sizes()
+    taken: dict[int, set] = {}
+    for c in range(C):
+        if sizes[c] <= 1:
+            continue
+        o0, o1 = int(eq.offsets[c]), int(eq.offsets[c + 1])
+        tids = eq.members[o0:o1]
+        used = set()
+        for t in tids:
+            used |= taken.get(int(t), set())
+        g = 0
+        while g in used:
+            g += 1
+        colors[c] = g
+        for t in tids:
+            taken.setdefault(int(t), set()).add(g)
+    return colors
 
 
 def run_gibbs(
@@ -173,11 +229,16 @@ def run_gibbs(
     cm = jnp.asarray(np.stack(init_counts), jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), num_chains)
 
+    colors_np = color_classes(eq)
+    num_colors = int(colors_np.max()) + 1 if C else 1
+    colors = jnp.asarray(colors_np, jnp.int32)
+
     rounds_vm = jax.vmap(
         lambda k, t, c: _gibbs_rounds(
-            k, t, c, offsets, sizes, aux_m, tid_m,
+            k, t, c, offsets, sizes, aux_m, tid_m, colors,
             max_size=max_size, num_classes=C, num_txps=num_txps,
             num_members=M, inner_rounds=inner_rounds,
+            num_colors=num_colors,
         ),
         in_axes=(0, 0, 0),
     )

@@ -86,3 +86,37 @@ def test_gibbs_samples(world):
     np.testing.assert_allclose(mean, em.alphas, rtol=0.25)
     # chain actually moves
     assert (mat.std(axis=0) > 0).any()
+
+
+def test_gibbs_blocked_matches_sequential_reference_chain(world):
+    """VERDICT round-1 #9: the blocked device chain's posterior must
+    match a faithful sequential-scan port of the reference chain
+    (src/CollapsedGibbsSampler.cpp:96-186, refimpl/gibbs.py) in its
+    first two moments within Monte-Carlo error on a toy config.
+
+    Both chains target the same collapsed conditional structure; the
+    blocked variant conditions all classes on one per-round snapshot
+    instead of the sequential running state (documented divergence,
+    infer/gibbs.py docstring) — this test bounds the practical effect."""
+    from sailfish_tpu.refimpl.gibbs import run_gibbs_sequential
+
+    eq, eff, total, em = world
+    n = 600
+    seq = np.stack(list(run_gibbs_sequential(
+        eq, eff, em.alphas, 3, num_samples=n, total_mapped=total, seed=11,
+    )))
+    blk = np.stack(list(run_gibbs(
+        eq, eff, em.alphas, 3, num_samples=n, total_mapped=total,
+        seed=12, num_chains=4,
+    )))
+    assert (seq.sum(axis=1) == int(total)).all()
+    assert (blk.sum(axis=1) == int(total)).all()
+
+    ms, mb = seq.mean(axis=0), blk.mean(axis=0)
+    ss, sb = seq.std(axis=0), blk.std(axis=0)
+    # means agree within a few combined standard errors (thinned chains
+    # retain autocorrelation; allow 5x the naive SE, plus a floor)
+    se = (ss + sb) / np.sqrt(n)
+    assert np.all(np.abs(ms - mb) <= 5.0 * se + 2.0), (ms, mb, se)
+    # posterior spread agrees to within 20% relative
+    np.testing.assert_allclose(sb, ss, rtol=0.20)
