@@ -131,7 +131,12 @@ def build_index(
     seqs: list[np.ndarray],
     k: int = 31,
     prefix_bases: int = 0,
+    force_big_sa: bool = False,
 ) -> QuasiIndex:
+    """`force_big_sa` builds the 64-bit (int64 SA) index layout
+    regardless of text size — the scaled-down test mode for the big-SA
+    device path (the auto threshold mirrors the reference's selection
+    at 2^31 bases, include/SailfishIndex.hpp:123-140)."""
     if k % 2 == 0 or k < 5 or k > 31:
         # reference requires odd k (SailfishIndexer.cpp:199-205); we also
         # bound k < 32 so a k-mer fits two packed words.
@@ -154,6 +159,8 @@ def build_index(
 
     codes_sub = np.where(codes >= 4, 0, codes).astype(np.uint8)
     sa = build_suffix_array(codes_sub)
+    if force_big_sa:
+        sa = sa.astype(np.int64)
     packed16 = dna.pack_words_u32(codes, sub=0)
     sep_dist = sep_distances(codes)
     kmer_ht = build_kmer_table(packed16, sa, k) if k >= 17 else None

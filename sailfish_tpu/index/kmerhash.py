@@ -116,11 +116,12 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
 
     ht_key0 = np.zeros(S * BUCKET, dtype=np.uint32)
     ht_key1 = np.zeros(S * BUCKET, dtype=np.uint32)
-    ht_lo = np.zeros(S * BUCKET, dtype=np.int32)
+    # SA-index dtype follows the suffix array (int64 for big_sa indexes)
+    ht_lo = np.zeros(S * BUCKET, dtype=sa.dtype)
     ht_cnt = np.zeros(S * BUCKET, dtype=np.int32)
     ht_key0[slot_of_group] = g0
     ht_key1[slot_of_group] = g1
-    ht_lo[slot_of_group] = lo.astype(np.int32)
+    ht_lo[slot_of_group] = lo.astype(sa.dtype)
     ht_cnt[slot_of_group] = cnt.astype(np.int64).astype(np.int32)
     shape = (S, BUCKET)
     return {

@@ -73,7 +73,7 @@ def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
         l, h = state
         cont = l < h
         mid = (l + h) >> 1
-        g = sa[jnp.clip(mid, 0, n - 1)].astype(jnp.int32) + depth
+        g = sa[jnp.clip(mid, 0, n - 1)] + depth
         key = packed[g]
         pred = (key <= val) if upper else (key < val)
         l = jnp.where(cont & pred, mid + 1, l)
@@ -167,10 +167,10 @@ def map_oriented_lanes(
             h = jnp.where(done, h, (h + 1) & mask)
             return (h, done, found, lo, cnt)
 
-        zeros = jnp.zeros(H, jnp.int32)
         _, done, found, lo, cnt = jax.lax.fori_loop(
             0, ht_probes, body,
-            (h0, jnp.zeros(H, bool), jnp.zeros(H, bool), zeros, zeros),
+            (h0, jnp.zeros(H, bool), jnp.zeros(H, bool),
+             jnp.zeros(H, ht_lo.dtype), jnp.zeros(H, jnp.int32)),
         )
         found = found & active
         # a miss (empty entry in a probed bucket, or probe exhaustion)
@@ -181,9 +181,8 @@ def map_oriented_lanes(
         """Prefix-table seed + packed-word refinement (fallback path)."""
         v = take1(ls["qpref"], i)
         v_safe = jnp.where(pvalid, v, 0)
-        lo = table_lo[v_safe].astype(jnp.int32)
-        hi = table_lo[v_safe + 1].astype(jnp.int32)
-        hi = jnp.where(pvalid, hi, lo)
+        lo = table_lo[v_safe]
+        hi = jnp.where(pvalid, table_lo[v_safe + 1], lo)
 
         # An EMPTY refinement at depth covering >= k bases proves the
         # position has no k-mer hit (max LCP < 16*(w+1) <= k) — a plain
@@ -232,8 +231,8 @@ def map_oriented_lanes(
         cvalid = crange < cnt[:, None]
         cidx = lo[:, None] + jnp.minimum(
             crange, jnp.maximum(cnt[:, None] - 1, 0)
-        )
-        g = sa[jnp.clip(cidx, 0, n_text - 1)].astype(jnp.int32)  # (H, C)
+        ).astype(lo.dtype)
+        g = sa[jnp.clip(cidx, 0, n_text - 1)]  # (H, C), sa dtype
 
         # hash-seeded candidates share the first k bases (A-substituted),
         # so the first floor(k/16) whole words need no comparison
@@ -256,9 +255,10 @@ def map_oriented_lanes(
         lstar = jnp.max(lcp, axis=1)
         hit = may_hit & (lstar >= k) & (~step_overflow)
 
-        # implied loci for hit candidates
+        # implied loci for hit candidates; in-transcript positions
+        # always fit int32 even when global positions are int64
         txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
-        pos = g - txp_offsets[txp] - i[:, None]
+        pos = (g - txp_offsets[txp]).astype(jnp.int32) - i[:, None]
         best = (lcp == lstar[:, None]) & cvalid & hit[:, None]
 
         # record the MMP into slot nm

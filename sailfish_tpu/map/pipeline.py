@@ -169,11 +169,24 @@ def _fused_tail(
 class DeviceMapperBackend:
     def __init__(self, index: QuasiIndex, opts: QuantOpts):
         if index.big_sa:
-            raise NotImplementedError(
-                "64-bit suffix arrays are not yet supported on the device "
-                "path; use --backend refimpl (index sharding lands with the "
-                "multi-host path)"
-            )
+            # 64-bit index (text >= 2^31 bases, or force_big_sa): global
+            # positions ride int64 through the XLA kernel's gather path
+            # (the reference's analog: the 64-bit RapMap index selected
+            # by include/SailfishIndex.hpp:123-140).  Requires x64; the
+            # Pallas kernel is int32-only, so big indexes route to the
+            # XLA kernel.
+            import jax as _jax
+
+            if not _jax.config.jax_enable_x64:
+                _jax.config.update("jax_enable_x64", True)
+            if opts.kernel == "pallas":
+                import logging
+
+                logging.getLogger("sailfish_tpu").info(
+                    "big_sa index: pallas kernel is int32-only, using "
+                    "the XLA kernel"
+                )
+                opts = dataclasses.replace(opts, kernel="xla")
         self.opts = opts
         self._pe_steps = {}  # (format_id, uniform_len...) -> jitted step
         self.k = index.k
@@ -183,15 +196,18 @@ class DeviceMapperBackend:
         self._pallas_n_text = None
         pad = np.zeros(_PACK_PAD, dtype=np.uint32)
         pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
+        # SA indices and global text positions are int32 normally,
+        # int64 for big_sa indexes (kernels derive dtypes from these)
+        pdt = jnp.int64 if index.big_sa else jnp.int32
         self.text = {
-            "sa": jnp.asarray(index.sa, jnp.int32),
+            "sa": jnp.asarray(index.sa, pdt),
             "packed16": jnp.asarray(np.concatenate([index.packed16, pad])),
             "sep_dist": jnp.asarray(
                 np.concatenate([index.sep_dist, pad8])
             ),
-            "table_lo": jnp.asarray(index.table_lo, jnp.int32),
+            "table_lo": jnp.asarray(index.table_lo, pdt),
             "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
-            "txp_offsets": jnp.asarray(index.txp_offsets, jnp.int32),
+            "txp_offsets": jnp.asarray(index.txp_offsets, pdt),
         }
         self.bias_text = None
         self._bias_flags = (False, False)
@@ -234,7 +250,7 @@ class DeviceMapperBackend:
             self.text.update({
                 "ht_key0": jnp.asarray(ht["ht_key0"]),
                 "ht_key1": jnp.asarray(ht["ht_key1"]),
-                "ht_lo": jnp.asarray(ht["ht_lo"], jnp.int32),
+                "ht_lo": jnp.asarray(ht["ht_lo"], pdt),
                 "ht_cnt": jnp.asarray(ht["ht_cnt"], jnp.int32),
             })
             self.ht_bits = int(ht["ht_bits"])

@@ -167,6 +167,57 @@ def test_fast_path_matches_detail(toy_world, backends):
     assert fld_n == int(fld.sum())
 
 
+def test_big_sa_device_path(toy_world):
+    """Forced 64-bit (big_sa) index: the device path must run with
+    int64 SA/position arrays and match both the oracle and the int32
+    device mapping exactly (the reference's 64-bit RapMap index,
+    include/SailfishIndex.hpp:123-140, is behaviorally identical to the
+    32-bit one below 2^31 bases — so the scaled-down forced mode is a
+    faithful differential test)."""
+    from sailfish_tpu.index.builder import build_index
+
+    idx64 = build_index(
+        toy_world["names"], toy_world["seqs"], k=31, force_big_sa=True
+    )
+    assert idx64.big_sa
+    opts = QuantOpts(batch_size=128)
+    ref = RefMapperBackend(idx64, opts)
+    dev64 = DeviceMapperBackend(idx64, opts)
+    dev32 = DeviceMapperBackend(toy_world["idx"], QuantOpts(batch_size=128))
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](128, err_rate=0.3, seed=21)
+    b1, b2 = to_batch(r1), to_batch(r2)
+    br = ref.map_pe_batch(b1, b2, exp)
+    bd = dev64.map_pe_batch(b1, b2, exp)
+    b32 = dev32.map_pe_batch(b1, b2, exp)
+    assert as_dict(br) == as_dict(bd) == as_dict(b32)
+    assert np.array_equal(br.mapped, bd.mapped)
+    assert np.array_equal(
+        br.frag_lens[br.unique_paired], bd.frag_lens[bd.unique_paired]
+    )
+
+
+def test_big_sa_pallas_falls_back(toy_world):
+    """kernel='pallas' on a big_sa index must transparently route to the
+    XLA kernel (the pallas kernel is int32-only) and still match the
+    oracle."""
+    from sailfish_tpu.index.builder import build_index
+
+    idx64 = build_index(
+        toy_world["names"], toy_world["seqs"], k=31, force_big_sa=True
+    )
+    opts = QuantOpts(batch_size=64, kernel="pallas")
+    dev = DeviceMapperBackend(idx64, opts)
+    assert dev.opts.kernel == "xla"
+    ref = RefMapperBackend(idx64, QuantOpts(batch_size=64))
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](64, err_rate=0.2, seed=22)
+    b1, b2 = to_batch(r1), to_batch(r2)
+    assert as_dict(ref.map_pe_batch(b1, b2, exp)) == as_dict(
+        dev.map_pe_batch(b1, b2, exp)
+    )
+
+
 def test_strict_intersect_orphan_recovery(toy_world):
     """Chimeric fragments (mate1 from one transcript, mate2 from a
     disjoint one): the default fuzzy merge leaves them unmapped while
