@@ -40,7 +40,7 @@ def log(*a):
 
 
 def build_world(rng):
-    from sailfish_tpu.index.builder import build_index
+    from sailfish_tpu.index.builder import build_index, load_index, save_index
 
     log(f"building synthetic transcriptome: {NUM_TXPS} x ~{TXP_LEN}bp")
     t0 = time.time()
@@ -49,9 +49,25 @@ def build_world(rng):
         for i in range(NUM_TXPS)
     ]
     names = [f"t{i}" for i in range(NUM_TXPS)]
-    idx = build_index(names, seqs, k=31)
-    log(f"index built in {time.time()-t0:.1f}s "
-        f"(N={idx.text_len}, P={idx.prefix_bases})")
+    # deterministic world (seeded rng) -> cache the index on disk; a
+    # rebuild costs minutes at bench scale and dominates iteration time
+    cache = os.environ.get(
+        "BENCH_IDX_CACHE", f"/tmp/benchidx_{NUM_TXPS}_{TXP_LEN}"
+    )
+    idx = None
+    if cache and os.path.exists(os.path.join(cache, "header.json")):
+        try:
+            idx = load_index(cache)
+            log(f"loaded cached index {cache} in {time.time()-t0:.1f}s")
+        except Exception as e:
+            log(f"index cache load failed ({e}); rebuilding")
+            idx = None
+    if idx is None:
+        idx = build_index(names, seqs, k=31)
+        log(f"index built in {time.time()-t0:.1f}s "
+            f"(N={idx.text_len}, P={idx.prefix_bases})")
+        if cache:
+            save_index(idx, cache)
     return idx, seqs
 
 

@@ -134,6 +134,55 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
     }
 
 
+def filter_hash2_u32(key0, key1):
+    """Second (independent) 32-bit mix for the presence filter.  The
+    first filter probe reuses mix_hash_u32 (already computed for the
+    bucket index), so only this one costs extra ops in the kernel.
+    Must match _mix2_i32 in map/pallas_kernel.py bit-for-bit."""
+    k0 = np.asarray(key0, np.uint32)
+    k1 = np.asarray(key1, np.uint32)
+    h = (k1 * np.uint32(0x27D4EB2F)) ^ (k0 * np.uint32(0x165667B1))
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x7FEB352D)
+    h ^= h >> np.uint32(11)
+    return h
+
+
+def build_kmer_bloom(ht: dict, max_bits_log2: int = 26) -> dict:
+    """Presence (Bloom) filter over the table's k-mer keys, sized to
+    ~4 bits/key (capped so it fits comfortably in TPU VMEM).
+
+    Two probes per test: bit1 = mix_hash_u32(k0,k1) & (m-1), bit2 =
+    filter_hash2_u32(k0,k1) & (m-1).  No false negatives, so the
+    mapping kernel can skip the HBM hash probe for filter-negative
+    positions without changing semantics — this is what makes the
+    reference's per-position k-mer scan (RapMap SACollector behind
+    src/SailfishQuantify.cpp:192-202) affordable on TPU: absent
+    positions (the whole wrong-orientation scan) resolve at VPU speed
+    instead of one HBM round trip each."""
+    occ = ht["ht_cnt"].ravel() > 0
+    k0 = ht["ht_key0"].ravel()[occ]
+    k1 = ht["ht_key1"].ravel()[occ]
+    n = int(occ.sum())
+    bits_log2 = 15  # floor: 8 rows of 128 i32 (one aligned VMEM tile)
+    while (1 << bits_log2) < 4 * max(n, 1) and bits_log2 < max_bits_log2:
+        bits_log2 += 1
+    m = 1 << bits_log2
+    mask = np.uint32(m - 1)
+    words = np.zeros(m // 32, dtype=np.uint32)
+    for h in (mix_hash_u32(k0, k1) & mask, filter_hash2_u32(k0, k1) & mask):
+        np.bitwise_or.at(
+            words, (h >> np.uint32(5)).astype(np.int64),
+            np.uint32(1) << (h & np.uint32(31)),
+        )
+    # (rows, 128) i32 layout for the kernel's VMEM block
+    return {
+        "filt_rows": words.view(np.int32).reshape(-1, 128),
+        "filt_bits_log2": bits_log2,
+        "fill": float((np.unpackbits(words.view(np.uint8)) != 0).mean()),
+    }
+
+
 def sep_distances(codes: np.ndarray, cap: int = 255) -> np.ndarray:
     """uint8[N]: distance from each position to the next SEP (>=4),
     saturating at `cap`.  Used to terminate A-substituted LCPs at

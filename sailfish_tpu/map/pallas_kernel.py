@@ -81,6 +81,20 @@ def _mix_i32(k0, k1):
     return h
 
 
+def _mix2_i32(k0, k1):
+    """index/kmerhash.filter_hash2_u32 in int32 (second presence-filter
+    probe; the first reuses _mix_i32, which the bucket index needs
+    anyway)."""
+    ma = jnp.int32(np.int32(np.uint32(0x27D4EB2F)))
+    mb = jnp.int32(np.int32(np.uint32(0x165667B1)))
+    mc = jnp.int32(np.int32(np.uint32(0x7FEB352D)))
+    h = (k1 * ma) ^ (k0 * mb)
+    h = h ^ _lsr32(h, 16)
+    h = h * mc
+    h = h ^ _lsr32(h, 11)
+    return h
+
+
 def pack_kmer_table_rows(ht, sa=None) -> np.ndarray:
     """(S, BUCKET) arrays -> (S/8, 128) i32: eight interleaved 16-word
     buckets [k0 x4 | k1 x4 | lo x4 | cnt x4] per row, so one probe is a
@@ -124,6 +138,7 @@ def _scan_kernel(
                  # candidate DMA carries the window AND its identity
     sa_ref,      # (Rs, 128) i32 HBM — SA rows, sentinel padded
     ht_ref,      # (S/8, 128) i32 HBM — unique k-mers store sa[lo] direct
+    filt_ref,    # (F/128, 128) i32 VMEM — k-mer presence Bloom bits
     gtxp_ref,    # (LB, M*C) i32 VMEM out — candidate transcript ids
     gpin_ref,    # (LB, M*C) i32 VMEM out — candidate in-txp positions
                  # (already minus the query offset)
@@ -152,6 +167,8 @@ def _scan_kernel(
     n_text: int,
     skip_jump: bool = False,
     phases: str = "abc",
+    filt_bits: int = 0,
+    filt_access: str = "scalar",
 ):
     """Phase-synchronous scan: all LB lanes advance one MMP step per
     outer iteration, and each phase (hash probe, SA window, candidate
@@ -163,7 +180,91 @@ def _scan_kernel(
     pipeline across lanes through two scratch banks (issue lane n+1's
     fetches while lane n's LCP is computed)."""
     hmask = jnp.int32((1 << ht_bits) - 1)
+    fmask = jnp.int32((1 << filt_bits) - 1)
     I32 = jnp.int32
+
+    def _filter_bit(h):
+        """Presence-filter bit for 32-bit hash h.  The filter lives in
+        VMEM, so a test costs no HBM traffic — this is what lets the
+        per-position k-mer scan skip absent positions (the entire
+        wrong-orientation sweep) at on-chip speed."""
+        b = h & fmask
+        w = _lsr32(b, 5)
+        row = _lsr32(w, 7)
+        col = w & I32(127)
+        if filt_access == "scalar":
+            # NOTE: rejected by Mosaic on hardware (dynamic lane-dim
+            # index must be statically 128-aligned); interpret-only.
+            v = filt_ref[row, col]
+        elif filt_access == "row":
+            # dynamic UNALIGNED single-row vector load (dim 0 allows
+            # dynamic starts) + one lane roll: measured ~free next to
+            # the loop overhead on v5e (tools: proto_dynload row_u8)
+            t = filt_ref[pl.ds(row, 1), :]
+            t = pltpu.roll(t, 128 - col, 1)
+            v = t[0, 0]
+        else:  # "tile": 8-row-aligned load + two rolls
+            r8 = (row >> 3) << 3
+            tile = filt_ref[pl.ds(r8, 8), :]
+            t = pltpu.roll(tile, 8 - (row & 7), 0)
+            t = pltpu.roll(t[0:1, :], 128 - col, 1)
+            v = t[0, 0]
+        return ((v >> (b & I32(31))) & I32(1)) == I32(1)
+
+    def ffwd_filter(lane):
+        """Advance the lane to the next filter-positive position at or
+        after st[0], consuming one scan step per filter-negative
+        position (a Bloom negative PROVES the k-mer is absent, so this
+        matches the probe-miss semantics exactly — same steps, same
+        positions, no HBM probe).  On exit: either a candidate position
+        (st[3] = its bucket hash, st[6]=0, probe pending) or no
+        remaining candidate in budget (st[6]=1, st[5]=0)."""
+        ln = lens_ref[lane, 0]
+
+        def cond(c):
+            return c[3] == I32(0)
+
+        def step1(c):
+            i, steps, _, _ = c
+            in_b = (i + k <= ln) & (steps < max_steps)
+            k0 = pw_ref[lane, i]
+            k1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
+            h1 = _mix_i32(k0, k1)
+            if filt_bits > 0:
+                cand = in_b & _filter_bit(h1) & _filter_bit(_mix2_i32(k0, k1))
+            else:
+                cand = in_b
+            stop = cand | (~in_b)
+            return (
+                jnp.where(stop, i, i + 1),
+                jnp.where(stop, steps, steps + 1),
+                h1,
+                stop.astype(I32),
+            )
+
+        # 8 positions per lax iteration: the loop-carry overhead on the
+        # scalar unit (~400ns/iter measured) dwarfs the filter test
+        # itself (~40ns), so amortize it.  step1 is idempotent once
+        # stopped (i/steps frozen by the wheres, h1 recomputed at the
+        # frozen position), so overscan inside a block is harmless.
+        unroll = 8 if filt_bits > 0 else 1
+
+        def body(c):
+            for _ in range(unroll):
+                c = step1(c)
+            return c
+
+        i, steps, h1, _ = jax.lax.while_loop(
+            cond, body,
+            (st_s[lane, 0], st_s[lane, 2], I32(0), I32(0)),
+        )
+        ok = (i + k <= ln) & (steps < max_steps)
+        st_s[lane, 0] = i
+        st_s[lane, 2] = steps
+        st_s[lane, 3] = h1 & hmask
+        st_s[lane, 5] = jnp.where(ok, st_s[lane, 5], I32(0))
+        st_s[lane, 6] = jnp.where(ok, I32(0), I32(1))
+        st_s[lane, 7] = I32(0)
 
     # ---- init outputs + per-lane state ----
     for lane in range(LB):
@@ -193,11 +294,10 @@ def _scan_kernel(
           * found       -> record (lo, cnt), consume the position's step,
                           probe_done
           * collision   -> bump h, re-probe the SAME position (no step)
-          * miss        -> consume the step and FAST-FORWARD: advance to
-                          the next position and re-probe within this
-                          same inner loop (an oracle "i += 1; continue"
-                          without paying a full phase-B/C outer step) —
-                          until found, read end, or step budget.
+          * miss        -> a filter false positive (or probe-chain
+                          exhaustion): consume the step, advance, and
+                          filter-sweep to the next candidate position —
+                          the next pbody iteration re-probes there.
         A probe chain that exhausts ht_probes attempts counts as a miss
         (the oracle's empty exact-k interval)."""
         i = st_s[lane, 0]
@@ -231,22 +331,25 @@ def _scan_kernel(
         att = st_s[lane, 7]
         exhausted = ~found & ~has_empty & (att + 1 >= ht_probes)
         miss = (has_empty & ~found) | exhausted
-        steps = st_s[lane, 2] + jnp.where(found | miss, 1, 0)
-        ni = jnp.where(miss, i + 1, i)
-        ffwd = miss & (ni + k <= lens_ref[lane, 0]) & (steps < max_steps)
-        done = found | (miss & ~ffwd)
-        nk0 = pw_ref[lane, ni]
-        nk1 = _lsr32(pw_ref[lane, ni + 16], 2 * (32 - k))
-        fresh = _mix_i32(nk0, nk1) & hmask
-        st_s[lane, 0] = ni
-        st_s[lane, 2] = steps
-        st_s[lane, 3] = jnp.where(
-            ffwd, fresh, jnp.where(done, h, (h + 1) & hmask)
-        )
-        st_s[lane, 4] = jnp.where(found, flo, st_s[lane, 4])
-        st_s[lane, 5] = jnp.where(found, fcnt, I32(0))
-        st_s[lane, 6] = jnp.where(done, 1, 0)
-        st_s[lane, 7] = jnp.where(ffwd, I32(0), att + 1)
+
+        @pl.when(found)
+        def _():
+            st_s[lane, 2] = st_s[lane, 2] + 1
+            st_s[lane, 4] = flo
+            st_s[lane, 5] = fcnt
+            st_s[lane, 6] = I32(1)
+
+        @pl.when(~found & ~miss)  # collision: re-probe the same position
+        def _():
+            st_s[lane, 3] = (h + 1) & hmask
+            st_s[lane, 7] = att + 1
+
+        @pl.when(miss)
+        def _():
+            st_s[lane, 0] = i + 1
+            st_s[lane, 2] = st_s[lane, 2] + 1
+            st_s[lane, 5] = I32(0)
+            ffwd_filter(lane)
 
     def issue_cands(lane, amask, cand_s, sem_c):
         act = lane_act(amask, lane)
@@ -408,18 +511,23 @@ def _scan_kernel(
                     st_s[lane, 0] = st_s[lane, 0] + 1
             return (s + 1, amask)
 
-        # ---- Phase A: hash probes, batched across lanes ----
+        # ---- Phase A: filter sweep to the next candidate position,
+        # then hash probes batched across lanes (only candidate
+        # positions ever touch HBM) ----
         for lane in range(LB):
             @pl.when(lane_act(amask, lane))
             def _():
-                i = st_s[lane, 0]
-                key0 = pw_ref[lane, i]
-                key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
-                st_s[lane, 3] = _mix_i32(key0, key1) & hmask
                 st_s[lane, 4] = I32(0)
                 st_s[lane, 5] = I32(0)
-                st_s[lane, 6] = I32(0)
-                st_s[lane, 7] = I32(0)
+                ffwd_filter(lane)
+
+        pm0 = I32(0)
+        for lane in range(LB):
+            live = ((amask >> lane) & 1) & (1 - st_s[lane, 6])
+            pm0 = pm0 | (live << lane)
+        for lane in range(LB):
+            @pl.when(((pm0 >> lane) & 1) == 1)
+            def _():
                 issue_probe(lane)
 
         def pcond(pmask):
@@ -440,7 +548,7 @@ def _scan_kernel(
                     issue_probe(lane)
             return nmask
 
-        jax.lax.while_loop(pcond, pbody, amask)
+        jax.lax.while_loop(pcond, pbody, pm0)
 
         # ---- Phase B: SA-interval position windows, needed only for
         # NON-unique seeds (cnt > 1; unique seeds got their position
@@ -533,7 +641,7 @@ def _scan_kernel(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "skip_jump",
-                     "phases"),
+                     "phases", "filt_bits", "filt_access"),
 )
 def mmp_scan_pallas(
     codes_i32,   # (B2, WINW) i32 lane codes, SEP padded
@@ -542,6 +650,7 @@ def mmp_scan_pallas(
     text_rows,   # (3*Rt, 128) i32 FUSED [codes; txp; pos] rows per block
     sa_rows,     # (Rs, 128) i32 sentinel-padded SA rows
     ht_rows,     # (S/8, 128) i32 (unique k-mers carry sa[lo] directly)
+    filt_rows,   # (F/4096, 128) i32 presence-filter bits (VMEM resident)
     *,
     k: int,
     cand_cap: int,
@@ -553,6 +662,8 @@ def mmp_scan_pallas(
     interpret: bool = False,
     skip_jump: bool = False,
     phases: str = "abc",
+    filt_bits: int = 0,
+    filt_access: str = "scalar",
 ):
     B2 = codes_i32.shape[0]
     C, M = cand_cap, max_mmps
@@ -563,6 +674,7 @@ def mmp_scan_pallas(
         k=k, C=C, M=M, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, n_text=n_text,
         skip_jump=skip_jump, phases=phases,
+        filt_bits=filt_bits, filt_access=filt_access,
     )
     gtxp, gpin, vld, meta = pl.pallas_call(
         kern,
@@ -577,6 +689,7 @@ def mmp_scan_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((LB, M * C), lambda b: (b, 0),
@@ -612,7 +725,8 @@ def mmp_scan_pallas(
             pltpu.SMEM((LB, 8), jnp.int32),          # st_s
         ],
         interpret=interpret,
-    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows, ht_rows)
+    )(codes_i32, pw_i32, lens.reshape(-1, 1), text_rows, sa_rows, ht_rows,
+      filt_rows)
     return gtxp, gpin, vld, meta
 
 
@@ -633,6 +747,8 @@ def map_oriented_lanes_pallas(
     postpass: bool = True,
     uniform_len: int | None = None,
     n_text: int | None = None,
+    filt_bits: int | None = None,
+    filt_access: str | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -648,16 +764,25 @@ def map_oriented_lanes_pallas(
     B, L = codes.shape
     if L > WINR:
         raise ValueError(f"pallas path supports reads up to {WINR} bases")
+    if filt_access is None:
+        # "row": dynamic unaligned (1,128) VMEM row load + one roll —
+        # the cheapest variant Mosaic accepts on v5e.  ("scalar"
+        # dynamic VMEM indexing is rejected on hardware: lane-dimension
+        # indices must be statically 128-aligned.)
+        filt_access = os.environ.get("SF_FILT_ACCESS", "row")
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
-        text_pallas["ht_rows"],
+        text_pallas["ht_rows"], text_pallas["filt_rows"],
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
                 else text_pallas["n_text"]),
         interpret=interpret,
         phases=phases, postpass=postpass, uniform_len=uniform_len,
+        filt_bits=(filt_bits if filt_bits is not None
+                   else text_pallas["filt_bits"]),
+        filt_access=filt_access,
     )
 
 
@@ -665,10 +790,11 @@ def map_oriented_lanes_pallas(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "skip_jump",
-                     "phases", "postpass", "uniform_len"),
+                     "phases", "postpass", "uniform_len", "filt_bits",
+                     "filt_access"),
 )
 def _map_lanes_pallas_jit(
-    codes, lens, text_rows, sa_rows, ht_rows,
+    codes, lens, text_rows, sa_rows, ht_rows, filt_rows,
     *,
     k: int,
     cand_cap: int,
@@ -682,6 +808,8 @@ def _map_lanes_pallas_jit(
     phases: str = "abc",
     postpass: bool = True,
     uniform_len: int | None = None,
+    filt_bits: int = 0,
+    filt_access: str = "scalar",
 ):
     from .kernels import NEG
 
@@ -718,10 +846,11 @@ def _map_lanes_pallas_jit(
 
     gtxp, gpin, vld, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, olens,
-        text_rows, sa_rows, ht_rows,
+        text_rows, sa_rows, ht_rows, filt_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=n_text, interpret=interpret, phases=phases,
+        filt_bits=filt_bits, filt_access=filt_access,
     )
     if not postpass:  # debug: scan-only timing
         return {"gtxp": gtxp, "gpin": gpin, "vld": vld, "meta": meta}
@@ -805,11 +934,16 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     sarows = -(-n // ROW) + PAD_ROWS
     sa = np.full((sarows * ROW,), n - 1, dtype=np.int32)
     sa[:n] = index.sa
+    from ..index.kmerhash import build_kmer_bloom
+
+    bloom = build_kmer_bloom(index.kmer_ht)
     return {
         "text_rows": jnp.asarray(fused),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
         "ht_rows": jnp.asarray(
             pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
         ),
+        "filt_rows": jnp.asarray(bloom["filt_rows"]),
         "n_text": n,
+        "filt_bits": bloom["filt_bits_log2"],
     }

@@ -62,6 +62,10 @@ class BatchResult:
     seq_samples: np.ndarray | None = None  # device backend: per-fragment
     # 6-mer context sample (-1 = none), file order
     gc_hist: np.ndarray | None = None      # device backend: (101,) GC obs
+    fmt_counts: np.ndarray | None = None   # (64,) observed-libtype counts
+    # (formatID-indexed; mapped fragments only)
+    num_compat: int = 0                    # mapped fragments whose label
+    # came from library-compatible hits
 
 
 @dataclasses.dataclass
@@ -75,6 +79,8 @@ class BatchStats:
     num_fwd: int
     num_rc: int
     fld_count: int                 # unique-paired obs (< maxFragLen)
+    fmt_counts: np.ndarray         # (64,) observed-libtype counts
+    num_compat: int                # mapped fragments with compat labels
     fld_hist: object               # () -> np.ndarray (max_frag_len,)
     fld_details: object            # () -> (frag_lens, unique_paired)
     seq_samples_fn: object = None  # () -> (n,) int32 | None
@@ -134,7 +140,14 @@ def _fused_tail(
         jnp.where(sel, fl, max_frag_len), length=max_frag_len + 1
     )[:max_frag_len].astype(jnp.int32)
     i32 = jnp.int32
-    scalars = jnp.stack([
+    # observed-libtype histogram (formatID-indexed, 6-bit codec ->
+    # 64 bins); unmapped fragments (fmt_id == -1) fall in the spill bin
+    fmthist = jnp.bincount(
+        jnp.where(out["mapped"], out["fmt_id"], 64), length=65
+    )[:64].astype(i32)
+    # scalars[0:8] are the batch counters; [8:72] the fmt histogram —
+    # packed into one vector so the per-batch sync stays a single pull
+    scalars = jnp.concatenate([jnp.stack([
         out["mapped"].sum().astype(i32),
         out["num_joint"].sum().astype(i32),
         (out["num_joint"] > 0).sum().astype(i32),
@@ -142,8 +155,8 @@ def _fused_tail(
         out["num_rc"].sum().astype(i32),
         num_u.astype(i32),
         sel.sum().astype(i32),
-        i32(0),
-    ])
+        out["have_compat"].sum().astype(i32),
+    ]), fmthist])
     res = {
         "scalars": scalars,
         "fldhist": fldhist,
@@ -194,6 +207,7 @@ class DeviceMapperBackend:
         self._index = index
         self._pallas_text = None
         self._pallas_n_text = None
+        self._pallas_filt_bits = None
         pad = np.zeros(_PACK_PAD, dtype=np.uint32)
         pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
         # SA indices and global text positions are int32 normally,
@@ -285,10 +299,11 @@ class DeviceMapperBackend:
                 pt = prepare_pallas_text(
                     self._index, self.opts.hit_capacity
                 )
-                # n_text is a STATIC shape parameter of the pallas
-                # kernel; keep it out of the traced pytree (a traced
+                # n_text / filt_bits are STATIC parameters of the pallas
+                # kernel; keep them out of the traced pytree (a traced
                 # scalar can't be captured by the kernel body)
                 self._pallas_n_text = pt.pop("n_text")
+                self._pallas_filt_bits = pt.pop("filt_bits")
                 self._pallas_text = pt
             return self._pallas_text
         return self.text
@@ -320,6 +335,7 @@ class DeviceMapperBackend:
                 interpret=(jax.default_backend() == "cpu"),
                 uniform_len=ul,
                 n_text=self._pallas_n_text,
+                filt_bits=self._pallas_filt_bits,
             )
         else:
             lanes = make_oriented_lanes(
@@ -491,6 +507,8 @@ class DeviceMapperBackend:
             num_fwd=int(scal[3]),
             num_rc=int(scal[4]),
             fld_count=int(scal[6]),
+            fmt_counts=scal[8:72].astype(np.int64),
+            num_compat=int(scal[7]),
             fld_hist=lambda: np.asarray(res["fldhist"]).astype(np.int64),
             fld_details=lambda: (
                 np.asarray(res["frag_len"])[:n],
@@ -520,6 +538,8 @@ class DeviceMapperBackend:
             num_joint=np.asarray(res["num_joint"])[:n],
             num_fwd=int(scal[3]),
             num_rc=int(scal[4]),
+            fmt_counts=scal[8:72].astype(np.int64),
+            num_compat=int(scal[7]),
             unique_paired=np.asarray(res["unique_paired"])[:n],
             frag_lens=np.asarray(res["frag_len"])[:n],
             seq_samples=(np.asarray(res["seq_samples"])[:n]
