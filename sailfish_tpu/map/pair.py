@@ -101,7 +101,9 @@ def _pe_compat(
 ):
     """Vectorized hit_type + compatible_hit_paired
     (src/SailfishUtils.cpp:215-289).  Orientation codes: SAME=0, AWAY=1,
-    TOWARD=2; strandedness codes: SA=0, AS=1, S=2, A=3, U=4."""
+    TOWARD=2; strandedness codes: SA=0, AS=1, S=2, A=3, U=4 (the
+    libformat enum values, so the observed codes pack straight into a
+    formatID).  Returns (compat, obs_orient, obs_strand)."""
     end1 = jnp.where(fwd1, pos1, pos1 + len1)
     end2 = jnp.where(fwd2, pos2, pos2 + len2)
     opp = fwd1 != fwd2
@@ -117,7 +119,7 @@ def _pe_compat(
     compat = (obs_orient == exp_orientation) & (
         (exp_strandedness == 4) | (obs_strand == exp_strandedness)
     )
-    return compat | ignore
+    return compat | ignore, obs_orient, obs_strand
 
 
 @partial(
@@ -260,7 +262,7 @@ def merge_and_collapse(
         mfwd = jnp.where(ap & paired_l, mate_fwd, False)
 
         is_p = status == PAIRED
-        pe_ok = _pe_compat(
+        pe_ok, obs_o, obs_s = _pe_compat(
             pos, fwd, jnp.broadcast_to(l1, (B, W)),
             mpos, mfwd, jnp.broadcast_to(l2, (B, W)),
             exp_orientation, exp_strandedness,
@@ -269,6 +271,14 @@ def merge_and_collapse(
         se_ok = _se_compat_bits(se_flags, status, fwd, ign)
         compat = jnp.where(is_p, pe_ok, se_ok)
         fwd_hit = jnp.where(status == RIGHT, ~fwd, fwd)
+        # observed library format per slot (LibraryFormat.hpp:89-98
+        # codec): paired slots pack hit_type's observed codes; orphans
+        # count as SE SF/SR by the hit's forward/reverse orientation.
+        # (The reference's ReadLibrary carries per-formatID counters but
+        # Sailfish never feeds them; we implement the accounting.)
+        pe_fmt = 1 | (obs_o << 1) | (obs_s << 3)
+        se_fmt = (3 << 1) | (jnp.where(fwd_hit, 2, 3) << 3)
+        slot_fmt = jnp.where(is_p, pe_fmt, se_fmt)
 
         # fragment length (paired slots): span of both reads
         fstart = jnp.minimum(pos, mpos)
@@ -283,6 +293,7 @@ def merge_and_collapse(
         slot_fraglen = jnp.zeros((B, W), jnp.int32)
         mpos = jnp.zeros((B, W), jnp.int32)
         mfwd = jnp.zeros((B, W), bool)
+        slot_fmt = (3 << 1) | (jnp.where(fwd_hit, 2, 3) << 3)
 
     num_joint = valid.sum(axis=1)
     too_many = (num_joint > max_read_occs) | overflow
@@ -297,6 +308,12 @@ def merge_and_collapse(
     mapped = selected.any(axis=1)
     num_fwd = (selected & fwd_hit).sum(axis=1)
     num_rc = (selected & ~fwd_hit).sum(axis=1)
+
+    # fragment's observed library format: the first selected slot's
+    # (deterministic under the canonical slot order); -1 when unmapped
+    fsel = jnp.argmax(selected, axis=1)
+    fmt_id = jnp.take_along_axis(slot_fmt, fsel[:, None], axis=1)[:, 0]
+    fmt_id = jnp.where(mapped, fmt_id, jnp.int32(-1))
 
     # compact selected txps left IN ASCENDING TXP ORDER (this sort is
     # the only place slot order is canonicalized — upstream merges no
@@ -340,6 +357,8 @@ def merge_and_collapse(
         "num_fwd": num_fwd,
         "num_rc": num_rc,
         "overflow": overflow,
+        "fmt_id": fmt_id,
+        "have_compat": have_compat & mapped,
     }
     if return_slots:
         # joint-hit slot arrays for bias-model observation (device-

@@ -113,6 +113,36 @@ class QuantWriter:
             use_eff_lens=not no_eff_length_correction,
         )
 
+    # ---- lib_format_counts.json ----
+    def write_lib_format_counts(
+        self, expected_name: str, fmt_counts, num_compat: int,
+        num_assigned: int, num_observed: int,
+    ) -> None:
+        """Observed-libtype accounting.  The reference declares the
+        per-formatID counters (include/ReadLibrary.hpp:222-236) but
+        Sailfish never feeds them; we count every mapped fragment's
+        observed format (salmon-style lib_format_counts.json schema)."""
+        from ..libformat import LibraryFormat
+
+        counts = {}
+        for fid, c in enumerate(fmt_counts):
+            if c > 0:
+                counts[LibraryFormat.from_id(fid).name] = int(c)
+        doc = {
+            "expected_format": expected_name,
+            "compatible_fraction": (
+                num_compat / num_assigned if num_assigned else 0.0
+            ),
+            "num_compatible_fragments": int(num_compat),
+            "num_assigned_fragments": int(num_assigned),
+            "num_processed_fragments": int(num_observed),
+            "observed_formats": counts,
+        }
+        with open(
+            os.path.join(self.output_dir, "lib_format_counts.json"), "w"
+        ) as fh:
+            json.dump(doc, fh, indent=4)
+
     # ---- eq-class dump (GZipWriter.cpp:51-92) ----
     def write_equiv_counts(self, names: list[str], eq: EqClasses) -> None:
         from ..eqclass.io import write_eq_dump

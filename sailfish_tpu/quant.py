@@ -45,6 +45,13 @@ class ExperimentState:
     num_rc: int = 0
     remaining_fl_ops: int = 0
     fl_hist: np.ndarray | None = None
+    # observed-libtype counters, formatID-indexed (the accounting the
+    # reference's ReadLibrary::libTypeCounts_ declares but never feeds:
+    # include/ReadLibrary.hpp:17-236)
+    lib_fmt_counts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(64, dtype=np.int64)
+    )
+    num_compat: int = 0
 
 
 class RefMapperBackend:
@@ -63,6 +70,12 @@ class RefMapperBackend:
         for rm in results:
             if rm.label is not None:
                 label_counts[rm.label] = label_counts.get(rm.label, 0) + 1
+        fmt_counts = np.zeros(64, dtype=np.int64)
+        num_compat = 0
+        for rm in results:
+            if rm.fmt_id >= 0:
+                fmt_counts[rm.fmt_id] += 1
+            num_compat += rm.compat
         return BatchResult(
             n=len(results),
             labels=list(label_counts.keys()),
@@ -74,6 +87,8 @@ class RefMapperBackend:
             unique_paired=np.array([rm.unique_paired for rm in results]),
             frag_lens=np.array([rm.frag_len for rm in results], dtype=np.int64),
             per_read=results,
+            fmt_counts=fmt_counts,
+            num_compat=num_compat,
         )
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat):
@@ -114,6 +129,8 @@ def _accumulate_stats(bs, state: ExperimentState, max_frag_len: int):
     state.num_mapped += bs.num_mapped
     state.num_fwd += bs.num_fwd
     state.num_rc += bs.num_rc
+    state.lib_fmt_counts += bs.fmt_counts
+    state.num_compat += bs.num_compat
     if state.remaining_fl_ops > 0 and bs.fld_count:
         if bs.fld_count <= state.remaining_fl_ops:
             state.fl_hist += bs.fld_hist()
@@ -138,6 +155,9 @@ def _accumulate(br, state: ExperimentState, acc: EqClassAccumulator,
     state.num_mapped += int(br.mapped.sum())
     state.num_fwd += br.num_fwd
     state.num_rc += br.num_rc
+    if br.fmt_counts is not None:
+        state.lib_fmt_counts += br.fmt_counts
+    state.num_compat += br.num_compat
     acc.add_many(br.labels, br.label_counts)
     if state.remaining_fl_ops > 0:
         fls = br.frag_lens[br.unique_paired]
@@ -162,6 +182,8 @@ def _write_quant_state(aux_path: str, state: ExperimentState) -> None:
         "num_rc": int(state.num_rc),
         "remaining_fl_ops": int(state.remaining_fl_ops),
         "fl_hist": [int(x) for x in state.fl_hist],
+        "lib_fmt_counts": [int(x) for x in state.lib_fmt_counts],
+        "num_compat": int(state.num_compat),
     }
     tmp = os.path.join(aux_path, "quant_state.json.tmp")
     with open(tmp, "w") as fh:
@@ -180,6 +202,10 @@ def _restore_quant_state(path: str, state: ExperimentState,
     state.num_fwd = int(doc.get("num_fwd", 0))
     state.num_rc = int(doc.get("num_rc", 0))
     state.remaining_fl_ops = int(doc["remaining_fl_ops"])
+    fc = np.asarray(doc.get("lib_fmt_counts", np.zeros(64)), dtype=np.int64)
+    state.lib_fmt_counts = np.zeros(64, dtype=np.int64)
+    state.lib_fmt_counts[: min(len(fc), 64)] = fc[:64]
+    state.num_compat = int(doc.get("num_compat", 0))
     hist = np.asarray(doc["fl_hist"], dtype=np.int64)
     fl = np.zeros(max_frag_len, dtype=np.int64)
     n = min(len(hist), max_frag_len)
@@ -484,6 +510,25 @@ def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
         names, ref_lens, eff_lens, em.alphas, float(state.num_mapped),
         no_eff_length_correction=opts.no_effective_length_correction,
     )
+
+    expected_name = parse_library_format(opts.lib_type).name
+    writer.write_lib_format_counts(
+        expected_name, state.lib_fmt_counts, state.num_compat,
+        state.num_mapped, state.num_observed,
+    )
+    if state.num_mapped and not opts.ignore_lib_compat:
+        compat_frac = state.num_compat / state.num_mapped
+        if compat_frac < 0.95:
+            top = int(np.argmax(state.lib_fmt_counts))
+            from .libformat import LibraryFormat as _LF
+
+            log.warning(
+                "only %.1f%% of mapped fragments were consistent with "
+                "the expected library type (%s); the most common "
+                "observed format was %s — double-check the -l/--libType "
+                "argument (see lib_format_counts.json)",
+                100.0 * compat_frac, expected_name, _LF.from_id(top).name,
+            )
 
     rng = np.random.default_rng(opts.seed)
     from .stats.fld import EmpiricalDistribution

@@ -45,6 +45,9 @@ from ..index.builder import QuasiIndex
 from ..libformat import (
     LibraryFormat,
     MateStatus,
+    ReadOrientation,
+    ReadStrandedness,
+    ReadType,
     compatible_hit_paired,
     compatible_hit_single,
     hit_type,
@@ -76,6 +79,9 @@ class ReadMapping:
     unique_paired: bool
     num_fwd: int
     num_rc: int
+    fmt_id: int = -1         # observed libtype (formatID) of the first
+    # selected hit; -1 when unmapped
+    compat: bool = False     # label drawn from library-compatible hits
     joint: list = dataclasses.field(default_factory=list)  # ALL joint hits
     # post-clears, in order — the reference observes bias/GC over every
     # joint hit regardless of compat (src/SailfishQuantify.cpp:260-393)
@@ -302,18 +308,19 @@ class RefMapper:
         all_ids: list[int] = []
         fw_compat = rc_compat = fw_all = rc_all = 0
         have_compat = False
+        first_fmt_compat = first_fmt_all = -1
 
         for h in joint:
             if h.mate_status == MateStatus.PAIRED_END_PAIRED:
-                compat = opts.ignore_lib_compat
-                if not compat:
-                    end1 = h.pos if h.fwd else h.pos + h.read_len
-                    end2 = h.mate_pos if h.mate_fwd else h.mate_pos + h.mate_len
-                    observed = hit_type(
-                        end1, h.fwd, h.read_len, end2, h.mate_fwd, h.mate_len,
-                        opts.allow_dovetail,
-                    )
-                    compat = compatible_hit_paired(expected, observed)
+                end1 = h.pos if h.fwd else h.pos + h.read_len
+                end2 = h.mate_pos if h.mate_fwd else h.mate_pos + h.mate_len
+                observed = hit_type(
+                    end1, h.fwd, h.read_len, end2, h.mate_fwd, h.mate_len,
+                    opts.allow_dovetail,
+                )
+                compat = opts.ignore_lib_compat or compatible_hit_paired(
+                    expected, observed
+                )
                 fwd_hit = h.fwd
             else:
                 compat = opts.ignore_lib_compat or compatible_hit_single(
@@ -325,15 +332,24 @@ class RefMapper:
                     fwd_hit = not h.fwd
                 else:
                     fwd_hit = h.fwd
+                # orphans/SE hits observe as SE SF/SR by hit orientation
+                observed = LibraryFormat(
+                    ReadType.SINGLE_END, ReadOrientation.NONE,
+                    ReadStrandedness.S if fwd_hit else ReadStrandedness.A,
+                )
             if compat:
                 have_compat = True
                 compat_ids.append(h.txp)
+                if first_fmt_compat < 0:
+                    first_fmt_compat = observed.format_id()
                 if fwd_hit:
                     fw_compat += 1
                 else:
                     rc_compat += 1
             if not have_compat and not opts.enforce_lib_compat:
                 all_ids.append(h.txp)
+                if first_fmt_all < 0:
+                    first_fmt_all = observed.format_id()
                 if fwd_hit:
                     fw_all += 1
                 else:
@@ -342,11 +358,13 @@ class RefMapper:
         if have_compat and compat_ids:
             label = tuple(compat_ids)
             nf, nr = fw_compat, rc_compat
+            fmt_id = first_fmt_compat
         elif all_ids:
             label = tuple(all_ids)
             nf, nr = fw_all, rc_all
+            fmt_id = first_fmt_all
         else:
-            label, nf, nr = None, 0, 0
+            label, nf, nr, fmt_id = None, 0, 0, -1
 
         unique_paired = (
             len(joint) == 1
@@ -361,5 +379,7 @@ class RefMapper:
             unique_paired=unique_paired,
             num_fwd=nf,
             num_rc=nr,
+            fmt_id=fmt_id,
+            compat=bool(have_compat and compat_ids),
             joint=joint,
         )

@@ -37,8 +37,25 @@ def test_outputs_exist(quant_result):
     for f in ("quant.sf", "cmd_info.json", "aux/meta_info.json",
               "aux/eq_classes.txt", "aux/fld.gz", "aux/expected_bias.gz",
               "aux/observed_bias.gz", "aux/expected_gc.gz",
-              "aux/observed_gc.gz"):
+              "aux/observed_gc.gz", "lib_format_counts.json"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_lib_format_counts(quant_result):
+    """Observed-libtype accounting: sample_data is a clean IU library,
+    so every mapped fragment observes a TOWARD format and the
+    compatible fraction is 1.0."""
+    import json
+
+    stats, out = quant_result
+    with open(os.path.join(out, "lib_format_counts.json")) as fh:
+        doc = json.load(fh)
+    assert doc["expected_format"] == "IU"
+    assert doc["num_assigned_fragments"] == stats["num_mapped"]
+    assert doc["compatible_fraction"] == 1.0
+    assert sum(doc["observed_formats"].values()) == stats["num_mapped"]
+    # IU-compatible observations are ISF/ISR (toward, either strand)
+    assert set(doc["observed_formats"]) <= {"ISF", "ISR"}
 
 
 def test_mapping_rate_and_classes(quant_result):

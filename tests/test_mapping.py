@@ -55,6 +55,10 @@ def test_device_matches_refimpl_pe(toy_world, backends):
         br.frag_lens[br.unique_paired], bd.frag_lens[bd.unique_paired]
     )
     assert (br.num_fwd, br.num_rc) == (bd.num_fwd, bd.num_rc)
+    # observed-libtype accounting agrees format-for-format
+    assert np.array_equal(br.fmt_counts, bd.fmt_counts)
+    assert br.num_compat == bd.num_compat
+    assert br.fmt_counts.sum() == bd.mapped.sum()
 
 
 def test_device_matches_refimpl_se(toy_world, backends):
@@ -69,6 +73,8 @@ def test_device_matches_refimpl_se(toy_world, backends):
     assert as_dict(br) == as_dict(bd)
     assert np.array_equal(br.mapped, bd.mapped)
     assert (br.num_fwd, br.num_rc) == (bd.num_fwd, bd.num_rc)
+    assert np.array_equal(br.fmt_counts, bd.fmt_counts)
+    assert br.num_compat == bd.num_compat
 
 
 def test_device_matches_refimpl_stranded(toy_world, backends):
@@ -163,6 +169,8 @@ def test_fast_path_matches_detail(toy_world, backends):
         assert bs.sum_joint == int(br.num_joint.sum())
         assert bs.ub_hits == int((br.num_joint > 0).sum())
         assert (bs.num_fwd, bs.num_rc) == (br.num_fwd, br.num_rc)
+        assert np.array_equal(bs.fmt_counts, br.fmt_counts)
+        assert bs.num_compat == br.num_compat
     assert dict(acc._counts) == detail
     assert fld_n == int(fld.sum())
 
