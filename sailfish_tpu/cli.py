@@ -114,7 +114,13 @@ def _add_quant_parser(sub):
     p.add_argument("--hitCapacity", type=int, default=64,
                    help="static per-orientation candidate capacity of the "
                    "device kernels; reads above it are dropped like "
-                   "--maxReadOcc")
+                   "--maxReadOcc (unless --hitCapacityMax escalates them)")
+    p.add_argument("--hitCapacityMax", type=int, default=0,
+                   help="escalation capacity: fragments whose candidate "
+                   "set overflows --hitCapacity are re-mapped through a "
+                   "wide-capacity second pass (XLA kernel) at this "
+                   "capacity; set >= --maxReadOcc to honor the full "
+                   "reference envelope on repetitive references (0 = off)")
     p.add_argument("--scanShrink", type=int, default=1,
                    help=">1: compact active lanes between MMP-scan steps, "
                    "shrinking width by this factor per step (faster, "
@@ -274,6 +280,7 @@ def _main_quant(args, argv) -> int:
         seed=args.seed,
         dtype=dtype,
         hit_capacity=args.hitCapacity,
+        hit_capacity_max=args.hitCapacityMax,
         scan_shrink=args.scanShrink,
         mmp_skip=args.mmpSkip,
         kernel=args.kernel,

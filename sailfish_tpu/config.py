@@ -114,11 +114,13 @@ class QuantOpts:
                                    # > max_read_occs and dropped
     hit_capacity_max: int = 0      # escalation capacity: fragments whose
                                    # kernel pass overflows hit_capacity
-                                   # are re-mapped through a compacted
-                                   # wide pass with this capacity (0 =
-                                   # no escalation).  Set >= max_read_occs
-                                   # to honor the full --maxReadOcc
-                                   # envelope on repetitive references.
+                                   # are gathered and re-mapped through a
+                                   # wide second pass (XLA kernel) at
+                                   # this capacity (0 = no escalation).
+                                   # Set >= max_read_occs to honor the
+                                   # full --maxReadOcc envelope on
+                                   # repetitive references
+                                   # (map/pipeline.py finish_batch*).
     dtype: str = "float64"         # EM dtype ("float64" on CPU golden
                                    # runs; "float32" on TPU)
 

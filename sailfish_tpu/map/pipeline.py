@@ -94,6 +94,12 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _scatter(base, idx, vals):
+    out = np.array(base)
+    out[idx] = vals
+    return out
+
+
 @partial(jax.jit, static_argnames=("w",))
 def _gather_rows_w(mat, idx, *, w: int):
     """Gather label rows and truncate to the widest live label before
@@ -156,7 +162,10 @@ def _fused_tail(
         num_u.astype(i32),
         sel.sum().astype(i32),
         out["have_compat"].sum().astype(i32),
-    ]), fmthist])
+    ]), fmthist,
+        # [72]: fragments whose kernel candidate set overflowed the
+        # static capacity (drives the wide-capacity escalation pass)
+        out["overflow"].sum().astype(i32)[None]])
     res = {
         "scalars": scalars,
         "fldhist": fldhist,
@@ -167,6 +176,7 @@ def _fused_tail(
         "num_joint": out["num_joint"],
         "unique_paired": out["unique_paired"],
         "frag_len": fl,
+        "overflow": out["overflow"],
     }
     if seq_on or gc_on:
         from ..stats.bias import bias_observe_device
@@ -463,7 +473,7 @@ class DeviceMapperBackend:
         )(self._text_arg(), self._bias_text_arg(),
           jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2),
           jnp.asarray(l2))
-        return (res, n)
+        return (res, n, (b1, b2, expected))
 
     def _se_step(self, expected: LibraryFormat, ul1):
         key = (expected.format_id(), ul1, "se")
@@ -485,13 +495,67 @@ class DeviceMapperBackend:
             self._text_arg(), self._bias_text_arg(),
             jnp.asarray(c1), jnp.asarray(l1)
         )
-        return (res, n)
+        return (res, n, (b, None, expected))
+
+    # escalation (wide-capacity second pass): fragments whose candidate
+    # set overflowed the kernel's static hit_capacity are gathered and
+    # re-mapped at effective_hit_capacity() so the device honors the
+    # full --maxReadOcc envelope on repetitive references (the reference
+    # keeps unbounded per-seed hit vectors and only enforces maxReadOcc
+    # on the joint set: src/SailfishQuantify.cpp:217,1143).  The wide
+    # pass routes through the XLA kernel (capacity is a traced shape
+    # there, and the rare wide shapes stay off the pallas hot path).
+    _ESC_ROWS = 1024
+
+    def _esc_enabled(self) -> bool:
+        return self.opts.hit_capacity_max > self.opts.hit_capacity
+
+    def _esc_backend(self):
+        if getattr(self, "_escb", None) is None:
+            opts2 = dataclasses.replace(
+                self.opts,
+                hit_capacity=self.opts.effective_hit_capacity(),
+                hit_capacity_max=0,
+                kernel="xla",
+                batch_size=self._ESC_ROWS,
+            )
+            esc = DeviceMapperBackend(self._index, opts2)
+            # share the parent's device-resident index arrays (the
+            # constructor's own copies are dropped here)
+            esc.text = self.text
+            esc.bias_text = self.bias_text
+            self._escb = esc
+        return self._escb
+
+    def _esc_pull_overflow(self, res, scal, n):
+        if not self._esc_enabled() or int(scal[72]) == 0:
+            return None
+        mask = np.asarray(res["overflow"])[:n]
+        idx = np.nonzero(mask)[0]
+        return idx if len(idx) else None
+
+    def _esc_chunks(self, ectx, idx):
+        """Yield (chunk_idx, finished sub-token) pairs over the overflow
+        fragments, _ESC_ROWS at a time."""
+        from ..io.fastq import FastqBatch
+
+        b1, b2, expected = ectx
+        esc = self._esc_backend()
+        for s in range(0, len(idx), self._ESC_ROWS):
+            ci = idx[s:s + self._ESC_ROWS]
+            sb1 = FastqBatch(b1.codes[ci], b1.lens[ci])
+            if b2 is not None:
+                sb2 = FastqBatch(b2.codes[ci], b2.lens[ci])
+                tok = esc.submit_pe(sb1, sb2, expected)
+            else:
+                tok = esc.submit_se(sb1, expected)
+            yield ci, esc, tok
 
     def finish_batch_fast(self, token, acc) -> BatchStats:
         """Fold the batch's eq classes into `acc` (a hash-keyed
         accumulator) and return reduced counters.  Labels are fetched
         from device only for hash keys `acc` has never seen."""
-        res, n = token
+        res, n, ectx = token
         scal, uniq, keys = self._pull_uniq(res)
         counts = uniq[:, 2].astype(np.int64)
         new = acc.add_hashed(keys, counts)
@@ -499,7 +563,7 @@ class DeviceMapperBackend:
             labels = self._fetch_labels(res, uniq[new, 3], uniq[new, 4])
             acc.register_new(keys[new], labels, counts[new])
         seq_on, gc_on = self._bias_flags
-        return BatchStats(
+        bs = BatchStats(
             n=n,
             num_mapped=int(scal[0]),
             sum_joint=int(scal[1]),
@@ -522,15 +586,56 @@ class DeviceMapperBackend:
                 (lambda: np.asarray(res["gc_hist"])) if gc_on else None
             ),
         )
+        idx = self._esc_pull_overflow(res, scal, n)
+        if idx is not None:
+            # overflow fragments were dropped by the main pass (zero
+            # hits, zero counters); the wide pass supplies their whole
+            # contribution, so merging is pure addition — except the
+            # per-fragment detail closures, which scatter the sub-
+            # batch's rows back into file order.
+            for ci, esc, tok in self._esc_chunks(ectx, idx):
+                sub = esc.finish_batch_fast(tok, acc)
+                bs.num_mapped += sub.num_mapped
+                bs.sum_joint += sub.sum_joint
+                bs.ub_hits += sub.ub_hits
+                bs.num_fwd += sub.num_fwd
+                bs.num_rc += sub.num_rc
+                bs.fld_count += sub.fld_count
+                bs.fmt_counts = bs.fmt_counts + sub.fmt_counts
+                bs.num_compat += sub.num_compat
+                bs.fld_hist = (
+                    lambda a=bs.fld_hist, b=sub.fld_hist: a() + b()
+                )
+
+                def _details(a=bs.fld_details, b=sub.fld_details, ci=ci):
+                    fls, up = a()
+                    sf, su = b()
+                    fls = fls.copy()
+                    up = up.copy()
+                    fls[ci] = sf
+                    up[ci] = su
+                    return fls, up
+
+                bs.fld_details = _details
+                if seq_on:
+                    bs.seq_samples_fn = (
+                        lambda a=bs.seq_samples_fn, b=sub.seq_samples_fn,
+                        ci=ci: _scatter(a(), ci, b())
+                    )
+                if gc_on:
+                    bs.gc_hist_fn = (
+                        lambda a=bs.gc_hist_fn, b=sub.gc_hist_fn: a() + b()
+                    )
+        return bs
 
     def finish_batch(self, token) -> BatchResult:
         """Full-detail finish (differential tests): exact labels for
         every class plus per-fragment stat vectors."""
-        res, n = token
+        res, n, ectx = token
         scal, uniq, _ = self._pull_uniq(res)
         labels = self._fetch_labels(res, uniq[:, 3], uniq[:, 4])
         seq_on, gc_on = self._bias_flags
-        return BatchResult(
+        br = BatchResult(
             n=n,
             labels=labels,
             label_counts=uniq[:, 2].astype(np.int64),
@@ -546,6 +651,35 @@ class DeviceMapperBackend:
                          if seq_on else None),
             gc_hist=(np.asarray(res["gc_hist"]) if gc_on else None),
         )
+        idx = self._esc_pull_overflow(res, scal, n)
+        if idx is not None:
+            # numpy views of device arrays are read-only; own them
+            # before scattering the wide pass's rows back in
+            for f in ("mapped", "num_joint", "unique_paired",
+                      "frag_lens", "seq_samples"):
+                v = getattr(br, f)
+                if v is not None:
+                    setattr(br, f, np.array(v))
+            lab = {t: int(c) for t, c in zip(br.labels, br.label_counts)}
+            for ci, esc, tok in self._esc_chunks(ectx, idx):
+                sub = esc.finish_batch(tok)
+                for t, c in zip(sub.labels, sub.label_counts):
+                    lab[t] = lab.get(t, 0) + int(c)
+                br.mapped[ci] = sub.mapped
+                br.num_joint[ci] = sub.num_joint
+                br.num_fwd += sub.num_fwd
+                br.num_rc += sub.num_rc
+                br.fmt_counts = br.fmt_counts + sub.fmt_counts
+                br.num_compat += sub.num_compat
+                br.unique_paired[ci] = sub.unique_paired
+                br.frag_lens[ci] = sub.frag_lens
+                if seq_on:
+                    br.seq_samples[ci] = sub.seq_samples
+                if gc_on:
+                    br.gc_hist = br.gc_hist + sub.gc_hist
+            br.labels = list(lab.keys())
+            br.label_counts = np.array(list(lab.values()), dtype=np.int64)
+        return br
 
     def map_pe_batch(self, b1, b2, expected: LibraryFormat) -> BatchResult:
         return self.finish_batch(self.submit_pe(b1, b2, expected))

@@ -133,3 +133,36 @@ def test_paralog_family_crosses_hit_capacity():
     assert results[16].mapped.sum() < results[64].mapped.sum()
     wide = max(len(lbl) for lbl in results[64].labels)
     assert wide > 16
+
+    # --- escalation pass: narrow primary capacity + wide second pass
+    # must equal the single wide pass exactly (overflow fragments are
+    # gathered and re-mapped at hit_capacity_max through the XLA
+    # kernel, so the device honors the full --maxReadOcc envelope
+    # without paying wide shapes on the hot path) ---
+    opts_esc = QuantOpts(batch_size=64, hit_capacity=16,
+                         hit_capacity_max=64)
+    dev_esc = DeviceMapperBackend(idx, opts_esc)
+    be = dev_esc.map_pe_batch(b1, b2, exp)
+    bw = results[64]
+    assert as_dict(be) == as_dict(bw)
+    np.testing.assert_array_equal(be.mapped, bw.mapped)
+    np.testing.assert_array_equal(be.num_joint, bw.num_joint)
+    np.testing.assert_array_equal(be.unique_paired, bw.unique_paired)
+    np.testing.assert_array_equal(be.frag_lens, bw.frag_lens)
+    assert (be.num_fwd, be.num_rc) == (bw.num_fwd, bw.num_rc)
+    np.testing.assert_array_equal(be.fmt_counts, bw.fmt_counts)
+    assert be.num_compat == bw.num_compat
+
+    # fast path (hash-keyed accumulator) with escalation agrees too
+    from sailfish_tpu.eqclass.classes import HashedEqClassAccumulator
+
+    acc = HashedEqClassAccumulator()
+    bs = dev_esc.finish_batch_fast(
+        dev_esc.submit_pe(b1, b2, exp), acc
+    )
+    assert bs.num_mapped == int(bw.mapped.sum())
+    assert bs.sum_joint == int(bw.num_joint.sum())
+    assert dict(acc._counts) == as_dict(bw)
+    fls, up = bs.fld_details()
+    np.testing.assert_array_equal(fls, bw.frag_lens)
+    np.testing.assert_array_equal(up, bw.unique_paired)
