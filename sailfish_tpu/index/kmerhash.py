@@ -91,13 +91,22 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
     todo = np.arange(G)
     idx = h.copy()
     attempts = 0
+    # stable order-by-bucket via ONE value sort of a composite key
+    # (bucket << id_bits | id): a quicksort over int64 values is ~5x
+    # faster than a stable argsort at GENCODE-scale G, and hands back
+    # both the order and the gathered bucket ids
+    id_bits = max(int(np.int64(max(G, 2) - 1)).bit_length(), 1)
+    id_mask = np.int64((1 << id_bits) - 1)
     while len(todo):
         attempts += 1
         if attempts > 4096:
             raise RuntimeError("k-mer hash insertion did not converge")
-        order = np.argsort(idx[todo], kind="stable")
-        cand = todo[order]
-        tgt = idx[cand]
+        comb = np.sort(
+            (idx[todo] << np.int64(id_bits))
+            | np.arange(len(todo), dtype=np.int64)
+        )
+        cand = todo[(comb & id_mask)]
+        tgt = comb >> np.int64(id_bits)
         # rank of each candidate within its target bucket this round
         pos = np.arange(len(cand))
         first = np.ones(len(cand), dtype=bool)

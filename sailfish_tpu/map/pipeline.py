@@ -218,21 +218,15 @@ class DeviceMapperBackend:
         self._pallas_text = None
         self._pallas_n_text = None
         self._pallas_filt_bits = None
-        pad = np.zeros(_PACK_PAD, dtype=np.uint32)
-        pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
         # SA indices and global text positions are int32 normally,
         # int64 for big_sa indexes (kernels derive dtypes from these)
         pdt = jnp.int64 if index.big_sa else jnp.int32
-        self.text = {
-            "sa": jnp.asarray(index.sa, pdt),
-            "packed16": jnp.asarray(np.concatenate([index.packed16, pad])),
-            "sep_dist": jnp.asarray(
-                np.concatenate([index.sep_dist, pad8])
-            ),
-            "table_lo": jnp.asarray(index.table_lo, pdt),
-            "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
-            "txp_offsets": jnp.asarray(index.txp_offsets, pdt),
-        }
+        self._pdt = pdt
+        # the XLA kernel's device arrays are materialized LAZILY (first
+        # _text_arg with kernel=xla): on the pallas path they would
+        # otherwise double the index's HBM footprint for nothing —
+        # at GENCODE scale that is multiple GB
+        self._text_dev = None
         self.bias_text = None
         self._bias_flags = (False, False)
         if opts.bias_correct or opts.gc_bias_correct:
@@ -243,10 +237,13 @@ class DeviceMapperBackend:
                 (index.codes == _dna.G) | (index.codes == _dna.C),
                 out=gc_excl[1:],
             )
+            pad = np.zeros(_PACK_PAD, dtype=np.uint32)
             self.bias_text = {
-                "packed16": self.text["packed16"],
+                "packed16": jnp.asarray(
+                    np.concatenate([index.packed16, pad])
+                ),
                 "gc_excl": jnp.asarray(gc_excl),
-                "txp_offsets": self.text["txp_offsets"],
+                "txp_offsets": jnp.asarray(index.txp_offsets, pdt),
                 "txp_lens": jnp.asarray(index.txp_lens, jnp.int32),
             }
             if opts.gc_bias_correct and opts.gc_samp_factor > 1:
@@ -271,14 +268,42 @@ class DeviceMapperBackend:
         self.ht_probes = 0
         if self.use_hash:
             ht = index.kmer_ht
-            self.text.update({
-                "ht_key0": jnp.asarray(ht["ht_key0"]),
-                "ht_key1": jnp.asarray(ht["ht_key1"]),
-                "ht_lo": jnp.asarray(ht["ht_lo"], pdt),
-                "ht_cnt": jnp.asarray(ht["ht_cnt"], jnp.int32),
-            })
             self.ht_bits = int(ht["ht_bits"])
             self.ht_probes = int(ht["max_probes"])
+
+    @property
+    def text(self) -> dict:
+        """XLA-kernel index arrays, device-resident (built on first use)."""
+        if self._text_dev is None:
+            index = self._index
+            pdt = self._pdt
+            pad = np.zeros(_PACK_PAD, dtype=np.uint32)
+            pad8 = np.zeros(_PACK_PAD, dtype=np.uint8)
+            self._text_dev = {
+                "sa": jnp.asarray(index.sa, pdt),
+                "packed16": jnp.asarray(
+                    np.concatenate([index.packed16, pad])
+                ),
+                "sep_dist": jnp.asarray(
+                    np.concatenate([index.sep_dist, pad8])
+                ),
+                "table_lo": jnp.asarray(index.table_lo, pdt),
+                "txp_of_pos": jnp.asarray(index.txp_of_pos, jnp.int32),
+                "txp_offsets": jnp.asarray(index.txp_offsets, pdt),
+            }
+            if self.use_hash:
+                ht = index.kmer_ht
+                self._text_dev.update({
+                    "ht_key0": jnp.asarray(ht["ht_key0"]),
+                    "ht_key1": jnp.asarray(ht["ht_key1"]),
+                    "ht_lo": jnp.asarray(ht["ht_lo"], pdt),
+                    "ht_cnt": jnp.asarray(ht["ht_cnt"], jnp.int32),
+                })
+        return self._text_dev
+
+    @text.setter
+    def text(self, value) -> None:
+        self._text_dev = value
 
     # ---- library-format scalars for the compat kernels ----
     def _fmt_args(self, expected: LibraryFormat):
