@@ -28,7 +28,7 @@ NUM_TXPS = int(os.environ.get("BENCH_TXPS", 20000))
 TXP_LEN = int(os.environ.get("BENCH_TXP_LEN", 1000))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 100))
 BATCH = int(os.environ.get("BENCH_BATCH", 65536))
-NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 4))
+NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 12))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
@@ -170,6 +170,7 @@ def main():
     total = 0
     mapped = 0
     pending = None
+    tb = t0
     for c1, c2, lens in batches:
         token = backend.submit_pe(
             FastqBatch(codes=c1, lens=lens), FastqBatch(codes=c2, lens=lens),
@@ -179,6 +180,10 @@ def main():
             bs = backend.finish_batch_fast(pending, acc)
             total += bs.n
             mapped += bs.num_mapped
+            now = time.time()
+            log(f"  batch {total//BATCH}: {(now-tb)*1e3:.0f} ms, "
+                f"{len(acc)} classes")
+            tb = now
         pending = token
     bs = backend.finish_batch_fast(pending, acc)
     total += bs.n

@@ -192,6 +192,43 @@ def build_kmer_bloom(ht: dict, max_bits_log2: int = 26) -> dict:
     }
 
 
+def build_word16_bloom(packed16: np.ndarray, n_text: int,
+                       max_bits_log2: int = 31) -> dict:
+    """Presence (Bloom) filter over the TEXT's 16-mer words, used by the
+    lane screen (map/pallas_kernel._map_lanes_pallas_jit): an oriented
+    read lane whose every k-mer window contains a filter-ABSENT 16-mer
+    provably has zero hits (a quasi-mapping hit needs an exact k-mer
+    seed, and a present k-mer implies every contained 16-mer present),
+    so ~half of all lanes — the wrong-orientation ones — skip the
+    kernel's per-position scan entirely.  Matches the per-read scan
+    work the reference spends on the reverse-complement pass of
+    SACollector (behind /root/reference/src/SailfishQuantify.cpp:192-202).
+
+    Keys are packed16 words (A-substituted), the same convention as the
+    read lanes' packed words, so presence is exact for any 16-mer that
+    could participate in a match.  Two probe bits, both derived from
+    mix_hash_u32(word, 0) / filter_hash2_u32(word, 0) — the jnp probe
+    in the lane screen must match bit-for-bit.  False positives only
+    admit a lane into the kernel (which then finds nothing); there are
+    no false negatives.  ~32 bits/key keeps the per-test fp rate ~0.4%
+    so a 6-test lane stays below ~2.5% accidental keep (a kept lane
+    costs a full in-kernel absence sweep)."""
+    w = np.asarray(packed16[:max(n_text, 1)], np.uint32)
+    bits_log2 = 18
+    while (1 << bits_log2) < 32 * len(w) and bits_log2 < max_bits_log2:
+        bits_log2 += 1
+    m = 1 << bits_log2
+    mask = np.uint32(m - 1)
+    words = np.zeros(m // 32, dtype=np.uint32)
+    zero = np.uint32(0)
+    for h in (mix_hash_u32(w, zero) & mask, filter_hash2_u32(w, zero) & mask):
+        np.bitwise_or.at(
+            words, (h >> np.uint32(5)).astype(np.int64),
+            np.uint32(1) << (h & np.uint32(31)),
+        )
+    return {"w16_words": words.view(np.int32), "w16_bits": bits_log2}
+
+
 def sep_distances(codes: np.ndarray, cap: int = 255) -> np.ndarray:
     """uint8[N]: distance from each position to the next SEP (>=4),
     saturating at `cap`.  Used to terminate A-substituted LCPs at

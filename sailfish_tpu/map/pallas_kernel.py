@@ -749,6 +749,7 @@ def map_oriented_lanes_pallas(
     n_text: int | None = None,
     filt_bits: int | None = None,
     filt_access: str | None = None,
+    w16_bits: int | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -770,10 +771,15 @@ def map_oriented_lanes_pallas(
         # dynamic VMEM indexing is rejected on hardware: lane-dimension
         # indices must be statically 128-aligned.)
         filt_access = os.environ.get("SF_FILT_ACCESS", "row")
+    if w16_bits is None:
+        w16_bits = text_pallas.get("w16_bits", 0)
+    if os.environ.get("SF_LANE_SCREEN", "1") == "0":
+        w16_bits = 0
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"], text_pallas["filt_rows"],
+        text_pallas.get("w16_rows", jnp.zeros(8, jnp.int32)),
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
@@ -783,6 +789,7 @@ def map_oriented_lanes_pallas(
         filt_bits=(filt_bits if filt_bits is not None
                    else text_pallas["filt_bits"]),
         filt_access=filt_access,
+        w16_bits=w16_bits,
     )
 
 
@@ -791,10 +798,10 @@ def map_oriented_lanes_pallas(
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "skip_jump",
                      "phases", "postpass", "uniform_len", "filt_bits",
-                     "filt_access"),
+                     "filt_access", "w16_bits"),
 )
 def _map_lanes_pallas_jit(
-    codes, lens, text_rows, sa_rows, ht_rows, filt_rows,
+    codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
     *,
     k: int,
     cand_cap: int,
@@ -810,6 +817,7 @@ def _map_lanes_pallas_jit(
     uniform_len: int | None = None,
     filt_bits: int = 0,
     filt_access: str = "scalar",
+    w16_bits: int = 0,
 ):
     from .kernels import NEG
 
@@ -844,8 +852,45 @@ def _map_lanes_pallas_jit(
         _pack_words(codes_pad, sub=0), jnp.int32
     )
 
+    # ---- 16-mer lane screen (semantics-preserving lane skip) ----
+    # A quasi-mapping hit needs an exact k-mer seed; a present k-mer
+    # implies every contained 16-mer word present in the text.  Testing
+    # one word per stride <= k-15 therefore covers every k-mer window:
+    # a lane whose tested words are ALL Bloom-absent provably has zero
+    # hits and is fed length 0, so the kernel never activates it.  This
+    # removes the per-position absence sweep for the (typically ~half)
+    # wrong-orientation lanes at the cost of ~L/16 XLA gathers per lane.
+    # Bloom false positives only admit a lane that then finds nothing.
+    klens = olens
+    if w16_bits > 0 and L >= 16 and k >= 16 + 1:
+        stride = min(16, k - 15)
+        ps = list(range(0, L - 16 + 1, stride))
+        pwu = jax.lax.bitcast_convert_type(pw_i32, jnp.uint32)
+        keys = jnp.stack([pwu[:, p] for p in ps], axis=1)  # (B2, T)
+        fm = jnp.uint32((1 << w16_bits) - 1)
+        # mix_hash_u32(key, 0) — must match index/kmerhash.py
+        h1 = keys * jnp.uint32(0x9E3779B1)
+        h1 = h1 ^ (h1 >> jnp.uint32(15))
+        h1 = h1 * jnp.uint32(0xC2B2AE3D)
+        h1 = (h1 ^ (h1 >> jnp.uint32(13))) & fm
+        # filter_hash2_u32(key, 0)
+        h2 = keys * jnp.uint32(0x165667B1)
+        h2 = h2 ^ (h2 >> jnp.uint32(16))
+        h2 = h2 * jnp.uint32(0x7FEB352D)
+        h2 = (h2 ^ (h2 >> jnp.uint32(11))) & fm
+
+        def bit(h):
+            w = w16_rows[(h >> jnp.uint32(5)).astype(jnp.int32)]
+            return (w >> (h & jnp.uint32(31)).astype(jnp.int32)) & 1
+
+        present = (bit(h1) & bit(h2)) == 1
+        valid = (jnp.asarray(ps, jnp.int32)[None, :] + 16
+                 <= olens[:, None])
+        keep = jnp.any(present & valid, axis=1)
+        klens = jnp.where(keep, olens, 0)
+
     gtxp, gpin, vld, meta = mmp_scan_pallas(
-        codes_pad.astype(jnp.int32), pw_i32, olens,
+        codes_pad.astype(jnp.int32), pw_i32, klens,
         text_rows, sa_rows, ht_rows, filt_rows,
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
@@ -934,9 +979,16 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     sarows = -(-n // ROW) + PAD_ROWS
     sa = np.full((sarows * ROW,), n - 1, dtype=np.int32)
     sa[:n] = index.sa
-    from ..index.kmerhash import build_kmer_bloom
+    from ..index.kmerhash import build_kmer_bloom, build_word16_bloom
 
     bloom = build_kmer_bloom(index.kmer_ht)
+    # 16-mer lane-screen filter: only useful when the strided test
+    # spacing (k-15) is wide enough that the screen is cheap
+    if index.k >= 23:
+        w16 = build_word16_bloom(index.packed16, n)
+        w16_rows, w16_bits = w16["w16_words"], w16["w16_bits"]
+    else:
+        w16_rows, w16_bits = np.zeros(8, np.int32), 0
     return {
         "text_rows": jnp.asarray(fused),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
@@ -944,6 +996,8 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
             pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
         ),
         "filt_rows": jnp.asarray(bloom["filt_rows"]),
+        "w16_rows": jnp.asarray(w16_rows),
         "n_text": n,
         "filt_bits": bloom["filt_bits_log2"],
+        "w16_bits": w16_bits,
     }

@@ -218,6 +218,7 @@ class DeviceMapperBackend:
         self._pallas_text = None
         self._pallas_n_text = None
         self._pallas_filt_bits = None
+        self._pallas_w16_bits = 0
         # SA indices and global text positions are int32 normally,
         # int64 for big_sa indexes (kernels derive dtypes from these)
         pdt = jnp.int64 if index.big_sa else jnp.int32
@@ -339,6 +340,7 @@ class DeviceMapperBackend:
                 # scalar can't be captured by the kernel body)
                 self._pallas_n_text = pt.pop("n_text")
                 self._pallas_filt_bits = pt.pop("filt_bits")
+                self._pallas_w16_bits = pt.pop("w16_bits")
                 self._pallas_text = pt
             return self._pallas_text
         return self.text
@@ -371,6 +373,7 @@ class DeviceMapperBackend:
                 uniform_len=ul,
                 n_text=self._pallas_n_text,
                 filt_bits=self._pallas_filt_bits,
+                w16_bits=self._pallas_w16_bits,
             )
         else:
             lanes = make_oriented_lanes(

@@ -73,3 +73,31 @@ def test_sep_distances_saturation():
     d = sep_distances(codes)
     assert d[0] == 255  # saturates
     assert d[998] == 1 and d[999] == 0
+
+
+def test_word16_bloom_no_false_negatives(toy_world):
+    from sailfish_tpu.index.kmerhash import (
+        build_word16_bloom, filter_hash2_u32,
+    )
+
+    idx = toy_world["idx"]
+    bl = build_word16_bloom(idx.packed16, idx.text_len)
+    words = bl["w16_words"].view(np.uint32)
+    mask = np.uint32((1 << bl["w16_bits"]) - 1)
+
+    def present(w):
+        w = np.asarray(w, np.uint32)
+        ok = np.ones(w.shape, bool)
+        for h in (mix_hash_u32(w, np.uint32(0)) & mask,
+                  filter_hash2_u32(w, np.uint32(0)) & mask):
+            bit = (words[(h >> np.uint32(5)).astype(np.int64)]
+                   >> (h & np.uint32(31))) & np.uint32(1)
+            ok &= bit == 1
+        return ok
+
+    # every true text word must be present (the lane screen's safety)
+    assert present(idx.packed16[: idx.text_len]).all()
+    # random foreign words are mostly absent (the screen's usefulness)
+    rng = np.random.default_rng(3)
+    fp = present(rng.integers(0, 2**32, 4096, dtype=np.uint32)).mean()
+    assert fp < 0.5

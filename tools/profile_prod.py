@@ -99,7 +99,8 @@ def main():
         ht_bits=backend.ht_bits, ht_probes=backend.ht_probes,
         skip_jump=False, uniform_len=int(lens[0]),
         n_text=backend._pallas_n_text,
-        filt_bits=backend._pallas_filt_bits, interpret=False,
+        filt_bits=backend._pallas_filt_bits,
+        w16_bits=backend._pallas_w16_bits, interpret=False,
     )
     timeit("B: map_oriented_lanes_pallas(m1)",
            lambda: map_oriented_lanes_pallas(text, jc1, jlens, **kw),
