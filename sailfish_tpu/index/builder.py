@@ -132,6 +132,7 @@ def build_index(
     k: int = 31,
     prefix_bases: int = 0,
     force_big_sa: bool = False,
+    ht_min_bits: int = 0,
 ) -> QuasiIndex:
     """`force_big_sa` builds the 64-bit (int64 SA) index layout
     regardless of text size — the scaled-down test mode for the big-SA
@@ -163,7 +164,8 @@ def build_index(
         sa = sa.astype(np.int64)
     packed16 = dna.pack_words_u32(codes, sub=0)
     sep_dist = sep_distances(codes)
-    kmer_ht = build_kmer_table(packed16, sa, k) if k >= 17 else None
+    kmer_ht = (build_kmer_table(packed16, sa, k, min_bits=ht_min_bits)
+               if k >= 17 else None)
 
     # prefix table from sorted prefixes: pref(sa) is non-decreasing.
     shift = np.uint32(2 * (16 - prefix_bases))

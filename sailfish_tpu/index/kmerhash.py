@@ -59,7 +59,8 @@ def suffix_keys(packed16: np.ndarray, sa: np.ndarray, k: int):
 BUCKET = 4  # entries per bucket; one bucket = 4x4 u32 = 64 contiguous bytes
 
 
-def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
+def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int,
+                     min_bits: int = 0):
     """Group identical k-prefixes along the SA and insert them into a
     4-way bucketized open-addressing table (linear probing over
     BUCKETS).  Bucketization keeps the worst-case probe chain tiny
@@ -79,7 +80,9 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int):
     g1 = key1[lo]
     G = len(lo)
 
-    bits = 2
+    # min_bits: index shards must agree on table size so the kernel's
+    # static hash mask is one value across the mesh (parallel/shardidx)
+    bits = max(2, min_bits)
     while (1 << bits) * BUCKET < 2 * G:
         bits += 1
     S = 1 << bits

@@ -88,7 +88,7 @@ def _search_bound(sa, packed, val, lo, hi, depth, upper: bool, iters: int):
     jax.jit,
     static_argnames=("k", "prefix_bases", "cand_cap", "max_mmps", "max_steps",
                      "bs_iters", "use_hash", "ht_probes", "ht_bits",
-                     "skip_jump", "scan_shrink"),
+                     "skip_jump", "scan_shrink", "axis_name"),
 )
 def map_oriented_lanes(
     text,          # dict of device index arrays (see pipeline.prep)
@@ -105,13 +105,27 @@ def map_oriented_lanes(
     ht_bits: int = 0,
     skip_jump: bool = True,
     scan_shrink: int = 1,
+    axis_name: str | None = None,
 ):
+    """When `axis_name` is set, the call runs under shard_map with the
+    INDEX sharded across that mesh axis (each device holds a sub-index
+    over a contiguous transcript range; see parallel/shardidx.py) and
+    the scan steps stay in lockstep via per-step collectives: the MMP
+    length is the max LCP over ALL shards (pmax), the interval size for
+    the --maxReadOcc overflow rule is the global candidate count (psum),
+    and every shard advances its scan position identically — so the
+    union of per-shard hits equals the single-index hit set exactly.
+    This is the >HBM long-context path (SURVEY §5): a transcriptome too
+    big for one chip's HBM maps at full speed with the index striped
+    over the mesh and only three (B2,)-vector collectives per scan step
+    riding ICI."""
     sa = text["sa"]                  # int32[N]
     pa = text["packed16"]            # uint32[N + pad]
     sep_dist = text["sep_dist"]      # uint8[N + pad]
     table_lo = text["table_lo"]      # int32[4^P + 1]
     txp_of_pos = text["txp_of_pos"]  # int32[N]
     txp_offsets = text["txp_offsets"]  # int32[T]
+    txp_base = text.get("txp_base")  # scalar: shard's first global txp id
 
     B2, L = lanes["codes"].shape
     C, M = cand_cap, max_mmps
@@ -186,12 +200,20 @@ def map_oriented_lanes(
 
         # An EMPTY refinement at depth covering >= k bases proves the
         # position has no k-mer hit (max LCP < 16*(w+1) <= k) — a plain
-        # miss, not an overflow.
+        # miss, not an overflow.  Sharded: the refinement trigger and
+        # the emptiness proof both use the GLOBAL interval size (the
+        # single-index kernel refines when the whole-text interval is
+        # too big; a shard's slice of it may be small or empty).
+        def gsum(x):
+            if axis_name is None:
+                return x
+            return jax.lax.psum(x, axis_name)
+
         proven_miss = jnp.zeros_like(pvalid)
         for w in (0, 1):
             depth = 16 * w
             need = (
-                (hi - lo > C)
+                (gsum(hi - lo) > C)
                 & (i + depth + 16 <= ls["lens"])
                 & take1(ls["valid16"], i + depth)
                 & ~proven_miss
@@ -201,11 +223,20 @@ def map_oriented_lanes(
                                 iters=bs_iters)
             nhi = _search_bound(sa, pa, qa, lo, hi, depth, upper=True,
                                 iters=bs_iters)
+            # globally-empty refinement: proves a miss when the depth
+            # covers >= k bases, otherwise the coarse interval stands
+            # (the global-overflow case, exactly as single-index)
+            gempty = gsum(nhi - nlo) <= 0
             if k >= 16 * (w + 1):
-                proven_miss = proven_miss | (need & (nhi <= nlo))
-            ok = need & (nhi > nlo)
-            lo = jnp.where(ok, nlo, lo)
-            hi = jnp.where(ok, nhi, hi)
+                proven_miss = proven_miss | (need & gempty)
+            # globally non-empty: every shard adopts its slice of the
+            # refined interval — which may be empty for THIS shard
+            # (single-index semantics: the refined interval replaces
+            # the coarse one; a shard with no matching suffix holds an
+            # empty slice, not its stale coarse interval)
+            adopt = need & ~gempty
+            lo = jnp.where(adopt, jnp.minimum(nlo, nhi), lo)
+            hi = jnp.where(adopt, nhi, hi)
         csize = jnp.where(proven_miss, 0, hi - lo)
         return lo, csize, pvalid & ~proven_miss
 
@@ -221,7 +252,15 @@ def map_oriented_lanes(
             pvalid = take1(ls["validP"], i) & active
             lo, csize, may_hit = seed_prefix(ls, i, pvalid)
 
-        step_overflow = may_hit & (csize > C)
+        if axis_name is not None:
+            # sharded index: the overflow rule and the hit decision use
+            # GLOBAL quantities so every shard's scan stays in lockstep
+            g_csize = jax.lax.psum(csize, axis_name)
+            g_may_hit = jax.lax.psum(may_hit.astype(jnp.int32),
+                                     axis_name) > 0
+        else:
+            g_csize, g_may_hit = csize, may_hit
+        step_overflow = g_may_hit & (g_csize > C)
         cnt = jnp.minimum(csize, C)
 
         # --- candidate LCPs ---
@@ -253,12 +292,17 @@ def map_oriented_lanes(
         lcp = jnp.where(cvalid, lcp, -1)
 
         lstar = jnp.max(lcp, axis=1)
-        hit = may_hit & (lstar >= k) & (~step_overflow)
+        if axis_name is not None:
+            lstar = jax.lax.pmax(lstar, axis_name)
+        hit = g_may_hit & (lstar >= k) & (~step_overflow)
 
         # implied loci for hit candidates; in-transcript positions
         # always fit int32 even when global positions are int64
         txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
         pos = (g - txp_offsets[txp]).astype(jnp.int32) - i[:, None]
+        if txp_base is not None:
+            # sharded index: local transcript ids -> global
+            txp = txp + txp_base
         best = (lcp == lstar[:, None]) & cvalid & hit[:, None]
 
         # record the MMP into slot nm

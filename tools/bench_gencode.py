@@ -148,6 +148,9 @@ def main():
         pass
 
     idx, concat, offs, lens = get_world()
+    if os.environ.get("GB_BUILD_ONLY", "0") == "1":
+        log("GB_BUILD_ONLY=1: world + index cached, exiting before device work")
+        return
     log(f"backend={jax.default_backend()} kernel={KERNEL} batch={BATCH}")
 
     from sailfish_tpu.config import QuantOpts

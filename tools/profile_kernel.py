@@ -40,18 +40,32 @@ def main():
     # identical across profiling runs
     cache = f"/tmp/benchidx_{os.environ.get('BENCH_TXPS', 20000)}"
     rng = np.random.default_rng(0)
+    c1 = None
     if os.path.isdir(cache) and os.path.exists(cache + ".batch.npz"):
         from sailfish_tpu.index.builder import load_index
 
         idx = load_index(cache)
         z = np.load(cache + ".batch.npz")
         c1, c2, lens = z["c1"], z["c2"], z["lens"]
-        log(f"loaded cached index {cache}")
-    else:
+        if c1.shape[0] < BATCH:
+            # stale cache smaller than the requested batch: slicing it
+            # would SILENTLY measure a smaller batch (this bug once
+            # inflated a bisection 4x) — regenerate instead
+            log(f"cached batch has {c1.shape[0]} rows < {BATCH}; regenerating")
+            B.NUM_BATCHES = 1
+            B.BATCH = max(BATCH, 65536)
+            seqs = [rng.integers(0, 4, B.TXP_LEN + 50 * (i % 7)).astype(np.uint8)
+                    for i in range(B.NUM_TXPS)]
+            (c1, c2, lens), = B.simulate_batches(seqs, rng)
+            np.savez(cache + ".batch.npz", c1=c1, c2=c2, lens=lens)
+        else:
+            log(f"loaded cached index {cache}")
+    if c1 is None:
         from sailfish_tpu.index.builder import save_index
 
         idx, seqs = B.build_world(rng)
         B.NUM_BATCHES = 1
+        B.BATCH = max(BATCH, 65536)
         (c1, c2, lens), = B.simulate_batches(seqs, rng)
         save_index(idx, cache)
         np.savez(cache + ".batch.npz", c1=c1, c2=c2, lens=lens)
