@@ -44,6 +44,12 @@ def _add_index_parser(sub):
                    help="prefix-table width in bases (0 = auto)")
     p.add_argument("-f", "--force", action="store_true",
                    help="rebuild even if the index exists")
+    p.add_argument("--indexShards", type=int, default=0,
+                   help="stripe the index into D standalone shards over "
+                        "contiguous transcript ranges; quant then maps "
+                        "with the index spread across a D-device mesh "
+                        "(for transcriptomes whose index exceeds one "
+                        "chip's HBM)")
     return p
 
 
@@ -206,6 +212,30 @@ def _main_index(args) -> int:
         log.info("index already exists at %s; use --force to rebuild", args.out)
         return 0
     t0 = time.time()
+    if args.indexShards > 1:
+        import numpy as np
+
+        from .index.builder import ShardedQuasiIndex, save_sharded_index
+        from .io.fasta import read_fasta
+        from .parallel.shardidx import build_index_shards
+
+        names, seqs = read_fasta(args.transcripts)
+        shards, ranges = build_index_shards(
+            names, seqs, args.indexShards, k=args.kmerSize,
+            prefix_bases=(args.prefixBases or 10),
+        )
+        sidx = ShardedQuasiIndex(
+            shards=shards, ranges=ranges, names=list(names),
+            txp_lens=np.concatenate([s.txp_lens for s in shards]),
+            k=args.kmerSize, prefix_bases=shards[0].prefix_bases,
+        )
+        save_sharded_index(sidx, args.out)
+        log.info(
+            "built %d-shard index over %d transcripts (%d bases) in %.2fs",
+            args.indexShards, sidx.num_transcripts, sidx.text_len,
+            time.time() - t0,
+        )
+        return 0
     idx = build_index_from_fasta(
         args.transcripts, k=args.kmerSize, prefix_bases=args.prefixBases
     )

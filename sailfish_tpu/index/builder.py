@@ -239,9 +239,77 @@ def save_index(idx: QuasiIndex, out_dir: str) -> None:
     np.savez(os.path.join(out_dir, "arrays.npz"), **arrays)
 
 
-def load_index(index_dir: str) -> QuasiIndex:
+@dataclasses.dataclass
+class ShardedQuasiIndex:
+    """A transcriptome index striped into D standalone sub-indexes over
+    contiguous transcript ranges — the on-disk form of the >HBM
+    long-context path (parallel/shardidx; the reference's analog is its
+    64-bit index selection for big transcriptomes,
+    include/SailfishIndex.hpp:123-140, which assumes one node's RAM —
+    here the binding constraint is per-chip HBM, so the index spreads
+    over the mesh instead)."""
+
+    shards: list
+    ranges: list              # [(lo, hi)) global transcript ranges
+    names: list
+    txp_lens: np.ndarray      # global, concatenated
+    k: int
+    prefix_bases: int
+
+    big_sa = False
+
+    @property
+    def num_transcripts(self) -> int:
+        return len(self.names)
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def text_len(self) -> int:
+        return sum(s.text_len for s in self.shards)
+
+
+def save_sharded_index(sidx: ShardedQuasiIndex, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    header = {
+        "index_version": INDEX_VERSION,
+        "kmer_length": sidx.k,
+        "prefix_bases": sidx.prefix_bases,
+        "num_transcripts": sidx.num_transcripts,
+        "text_len": sidx.text_len,
+        "big_sa": False,
+        "sharded": sidx.num_shards,
+        "shard_ranges": [list(r) for r in sidx.ranges],
+    }
+    with open(os.path.join(out_dir, "header.json"), "w") as fh:
+        json.dump(header, fh, indent=2)
+    with open(os.path.join(out_dir, "versionInfo.json"), "w") as fh:
+        json.dump({"indexVersion": INDEX_VERSION, "kmerLength": sidx.k},
+                  fh, indent=2)
+    for d, shard in enumerate(sidx.shards):
+        save_index(shard, os.path.join(out_dir, f"shard{d}"))
+
+
+def load_index(index_dir: str):
     with open(os.path.join(index_dir, "header.json")) as fh:
         header = json.load(fh)
+    if header.get("sharded"):
+        D = int(header["sharded"])
+        shards = [
+            load_index(os.path.join(index_dir, f"shard{d}"))
+            for d in range(D)
+        ]
+        names = [n for s in shards for n in s.names]
+        return ShardedQuasiIndex(
+            shards=shards,
+            ranges=[tuple(r) for r in header["shard_ranges"]],
+            names=names,
+            txp_lens=np.concatenate([s.txp_lens for s in shards]),
+            k=header["kmer_length"],
+            prefix_bases=header["prefix_bases"],
+        )
     if header["index_version"] != INDEX_VERSION:
         raise ValueError(
             f"index version {header['index_version']} != {INDEX_VERSION}; "

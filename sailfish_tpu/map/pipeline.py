@@ -422,7 +422,9 @@ class DeviceMapperBackend:
             orient, strand, se_flags,
             bias_text,
             paired_end=paired_end,
-            cand_cap=opts.hit_capacity,
+            # per-orientation hit-block width; the sharded-index backend
+            # widens it to D*C (one C-wide slab per index shard)
+            cand_cap=getattr(self, "_tail_cap", opts.hit_capacity),
             max_read_occs=opts.max_read_occs,
             allow_orphans=opts.allow_orphans,
             allow_dovetail=opts.allow_dovetail,

@@ -1,0 +1,129 @@
+"""Production mapping backend over a sharded (>HBM) index.
+
+`ShardedMapperBackend` plugs the lockstep sharded-index scan
+(parallel/shardidx) into the standard quant pipeline: it presents the
+same submit/finish interface as `DeviceMapperBackend` and reuses its
+entire batch tail (orientation merge, pair intersection, eq-class
+collapse, FLD reduction) unchanged — only `_map_lanes` is swapped for
+the shard_map'd XLA kernel, with each orientation block widened from C
+to D*C columns (one C-wide slab per shard, shard-major, which preserves
+global transcript order because shards are contiguous ranges).
+
+Index arrays are placed on the mesh with a PartitionSpec("idx")
+NamedSharding before the first batch, so each device holds 1/D of the
+index — the point of the exercise (BASELINE config 5: transcriptome
+index exceeding one chip's HBM).
+
+Unsupported with a sharded index (explicit errors, not silent drops):
+sequence/GC bias correction (needs the whole text on one device) and
+the wide-capacity escalation pass (needs a monolithic re-map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import QuantOpts
+from ..parallel.shardidx import (
+    map_oriented_lanes_sharded,
+    stack_shard_texts,
+)
+from .pipeline import DeviceMapperBackend
+
+log = logging.getLogger("sailfish_tpu")
+
+
+class ShardedMapperBackend(DeviceMapperBackend):
+    def __init__(self, sidx, opts: QuantOpts, mesh: Mesh | None = None):
+        if opts.bias_correct or opts.gc_bias_correct:
+            raise ValueError(
+                "bias correction needs the whole transcriptome text on "
+                "one device; it is not available with a sharded index"
+            )
+        if opts.hit_capacity_max > opts.hit_capacity:
+            raise ValueError(
+                "--hitCapacityMax escalation is not available with a "
+                "sharded index (requires a monolithic re-map pass)"
+            )
+        if opts.kernel == "pallas":
+            log.info("sharded index: using the XLA kernel "
+                     "(the pallas scan is single-device)")
+            opts = dataclasses.replace(opts, kernel="xla")
+        D = sidx.num_shards
+        if mesh is None:
+            devs = jax.devices()
+            if len(devs) < D:
+                raise ValueError(
+                    f"sharded index has {D} shards but only "
+                    f"{len(devs)} devices are visible"
+                )
+            mesh = Mesh(np.array(devs[:D]), ("idx",))
+        if mesh.shape["idx"] != D:
+            raise ValueError(
+                f"mesh axis 'idx' has {mesh.shape['idx']} devices; "
+                f"index has {D} shards"
+            )
+
+        # DeviceMapperBackend state, minus everything that assumes a
+        # monolithic QuasiIndex (bias text, big_sa, lazy XLA arrays)
+        self.opts = opts
+        self._pe_steps = {}
+        self.k = sidx.k
+        self.prefix_bases = sidx.prefix_bases
+        self._index = sidx
+        self._pallas_text = None
+        self._pallas_n_text = None
+        self._pallas_filt_bits = None
+        self._pallas_w16_bits = 0
+        self._pdt = jnp.int32
+        self._text_dev = None
+        self.bias_text = None
+        self._bias_flags = (False, False)
+
+        self._mesh = mesh
+        stacked, meta = stack_shard_texts(sidx.shards, sidx.ranges)
+        self.use_hash = meta["ht_bits"] > 0
+        self.ht_bits = meta["ht_bits"]
+        self.ht_probes = meta["ht_probes"]
+        # place each index array striped over the mesh: device d holds
+        # shard d only (the whole point — per-device HBM sees 1/D)
+        spec = NamedSharding(mesh, P("idx"))
+        self._stacked = {
+            kk: jax.device_put(v, spec) for kk, v in stacked.items()
+        }
+        self._tail_cap = D * opts.hit_capacity
+
+    # the sharded arrays ARE the text argument for the fused step
+    def _text_arg(self):
+        return self._stacked
+
+    def _map_lanes(self, codes, lens, uniform_len=None, text=None):
+        opts = self.opts
+        if text is None:
+            text = self._text_arg()
+        hits = map_oriented_lanes_sharded(
+            self._mesh, text,
+            jnp.asarray(codes), jnp.asarray(lens),
+            k=self.k,
+            prefix_bases=self.prefix_bases,
+            cand_cap=opts.hit_capacity,
+            max_mmps=opts.max_mmps,
+            max_steps=opts.effective_scan_steps(codes.shape[1]),
+            use_hash=self.use_hash,
+            ht_probes=self.ht_probes,
+            ht_bits=self.ht_bits,
+            skip_jump=(opts.mmp_skip == "jump"),
+        )
+        B = codes.shape[0]
+
+        def half(d, sl):
+            return {kk: v[sl] for kk, v in d.items()
+                    if kk != "num_mapped_loci"}
+
+        return half(hits, slice(0, B)), half(hits, slice(B, 2 * B))

@@ -214,6 +214,17 @@ def _restore_quant_state(path: str, state: ExperimentState,
 
 
 def make_backend(index: QuasiIndex, opts: QuantOpts, backend: str):
+    from .index.builder import ShardedQuasiIndex
+
+    if isinstance(index, ShardedQuasiIndex):
+        if backend != "device":
+            raise ValueError(
+                "a sharded index maps on the device mesh only "
+                "(--backend device)"
+            )
+        from .map.sharded import ShardedMapperBackend
+
+        return ShardedMapperBackend(index, opts)
     if backend == "refimpl":
         return RefMapperBackend(index, opts)
     if backend == "device":
