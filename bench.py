@@ -164,18 +164,27 @@ def main():
 
     # one-deep pipeline like the quant driver: device maps batch n+1
     # while the host folds batch n (fast path: hash-keyed accumulator,
-    # labels fetched only for first-seen classes)
+    # labels fetched only for first-seen classes).  Batch n+1's H2D is
+    # PREFETCHED right after batch n's compute dispatch so the ~hundreds
+    # of ms of tunnel transfer ride under the mapping kernel.
     acc = HashedEqClassAccumulator()
     t0 = time.time()
     total = 0
     mapped = 0
     pending = None
     tb = t0
-    for c1, c2, lens in batches:
-        token = backend.submit_pe(
-            FastqBatch(codes=c1, lens=lens), FastqBatch(codes=c2, lens=lens),
-            expected,
-        )
+    pf = backend.prefetch_pe(
+        FastqBatch(codes=batches[0][0], lens=batches[0][2]),
+        FastqBatch(codes=batches[0][1], lens=batches[0][2]),
+    )
+    for i in range(len(batches)):
+        token = backend.submit_pe(pf, expected)
+        if i + 1 < len(batches):
+            c1, c2, lens = batches[i + 1]
+            pf = backend.prefetch_pe(
+                FastqBatch(codes=c1, lens=lens),
+                FastqBatch(codes=c2, lens=lens),
+            )
         if pending is not None:
             bs = backend.finish_batch_fast(pending, acc)
             total += bs.n

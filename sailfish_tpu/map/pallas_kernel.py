@@ -183,13 +183,16 @@ def _scan_kernel(
     fmask = jnp.int32((1 << filt_bits) - 1)
     I32 = jnp.int32
 
-    def _filter_bit(h):
-        """Presence-filter bit for 32-bit hash h.  The filter lives in
-        VMEM, so a test costs no HBM traffic — this is what lets the
-        per-position k-mer scan skip absent positions (the entire
-        wrong-orientation sweep) at on-chip speed."""
-        b = h & fmask
-        w = _lsr32(b, 5)
+    def _filter_test(h1, h2):
+        """Single-word presence test: the key's filter word index comes
+        from h1, BOTH probe bits from disjoint 5-bit fields of h2 (the
+        host builder uses the same scheme — index/kmerhash.py
+        build_kmer_bloom), so one dynamic row load + one roll answers
+        the whole test.  The filter lives in VMEM: a test costs no HBM
+        traffic, which is what lets the per-position k-mer scan skip
+        absent positions (the entire wrong-orientation sweep) at
+        on-chip speed."""
+        w = h1 & _lsr32(fmask, 5)
         row = _lsr32(w, 7)
         col = w & I32(127)
         if filt_access == "scalar":
@@ -209,7 +212,9 @@ def _scan_kernel(
             t = pltpu.roll(tile, 8 - (row & 7), 0)
             t = pltpu.roll(t[0:1, :], 128 - col, 1)
             v = t[0, 0]
-        return ((v >> (b & I32(31))) & I32(1)) == I32(1)
+        b1 = h2 & I32(31)
+        b2 = _lsr32(h2, 5) & I32(31)
+        return (((v >> b1) & (v >> b2)) & I32(1)) == I32(1)
 
     def ffwd_filter(lane):
         """Advance the lane to the next filter-positive position at or
@@ -231,7 +236,7 @@ def _scan_kernel(
             k1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
             h1 = _mix_i32(k0, k1)
             if filt_bits > 0:
-                cand = in_b & _filter_bit(h1) & _filter_bit(_mix2_i32(k0, k1))
+                cand = in_b & _filter_test(h1, _mix2_i32(k0, k1))
             else:
                 cand = in_b
             stop = cand | (~in_b)
@@ -242,12 +247,13 @@ def _scan_kernel(
                 stop.astype(I32),
             )
 
-        # 8 positions per lax iteration: the loop-carry overhead on the
+        # 16 positions per lax iteration: the loop-carry overhead on the
         # scalar unit (~400ns/iter measured) dwarfs the filter test
-        # itself (~40ns), so amortize it.  step1 is idempotent once
-        # stopped (i/steps frozen by the wheres, h1 recomputed at the
-        # frozen position), so overscan inside a block is harmless.
-        unroll = 8 if filt_bits > 0 else 1
+        # itself (~30ns single-word), so amortize it.  step1 is
+        # idempotent once stopped (i/steps frozen by the wheres, h1
+        # recomputed at the frozen position), so overscan inside a
+        # block is harmless.
+        unroll = 16 if filt_bits > 0 else 1
 
         def body(c):
             for _ in range(unroll):

@@ -494,16 +494,44 @@ class DeviceMapperBackend:
             self._pe_steps[key] = fn
         return fn
 
-    def submit_pe(self, b1, b2, expected: LibraryFormat):
-        n = b1.count
+    def prefetch_pe(self, b1, b2):
+        """Start the H2D transfer of a padded batch WITHOUT dispatching
+        compute.  device_put returns immediately; the copy proceeds
+        while the device works on the previous batch — on a tunneled
+        chip the raw transfer is ~hundreds of ms per 64k batch, so
+        hiding it behind the mapping kernel matters.  Pass the result
+        to submit_pe in place of (b1, b2)."""
         c1, l1 = self._pad_batch(b1.codes, b1.lens)
         c2, l2 = self._pad_batch(b2.codes, b2.lens)
-        res = self._pe_step(
-            expected, self._uniform_len(l1), self._uniform_len(l2)
-        )(self._text_arg(), self._bias_text_arg(),
-          jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2),
-          jnp.asarray(l2))
-        return (res, n, (b1, b2, expected))
+        return {
+            "dev": (jax.device_put(c1), jax.device_put(l1),
+                    jax.device_put(c2), jax.device_put(l2)),
+            "n": b1.count,
+            "batches": (b1, b2),
+            "ul": (self._uniform_len(l1), self._uniform_len(l2)),
+        }
+
+    def submit_pe(self, b1, b2=None, expected: LibraryFormat = None):
+        if isinstance(b1, dict) and "dev" in b1:  # prefetched
+            pf = b1
+            if expected is None:
+                expected = b2
+            c1, l1, c2, l2 = pf["dev"]
+            n = pf["n"]
+            ul1, ul2 = pf["ul"]
+            ctx = (*pf["batches"], expected)
+        else:
+            n = b1.count
+            pc1, pl1 = self._pad_batch(b1.codes, b1.lens)
+            pc2, pl2 = self._pad_batch(b2.codes, b2.lens)
+            ul1, ul2 = self._uniform_len(pl1), self._uniform_len(pl2)
+            c1, l1 = jnp.asarray(pc1), jnp.asarray(pl1)
+            c2, l2 = jnp.asarray(pc2), jnp.asarray(pl2)
+            ctx = (b1, b2, expected)
+        res = self._pe_step(expected, ul1, ul2)(
+            self._text_arg(), self._bias_text_arg(), c1, l1, c2, l2
+        )
+        return (res, n, ctx)
 
     def _se_step(self, expected: LibraryFormat, ul1):
         key = (expected.format_id(), ul1, "se")

@@ -398,17 +398,39 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     # classes, rank 0 merges + resumes (see parallel/launcher.py for
     # the single-command form)
     shard = (opts.shard_id, opts.num_shards)
+    use_prefetch = hasattr(mapper, "prefetch_pe")
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
             ml = max(_probe_max_len(f1), _probe_max_len(f2))
+            pf = None  # (prefetched-device-batch, observe_args)
             for b1, b2 in iter_paired_fastq_batches(
                 f1, f2, opts.batch_size, max_len=ml, shard=shard,
                 decode_threads=opts.num_threads,
             ):
-                token = mapper.submit_pe(b1, b2, expected)
+                if not use_prefetch:
+                    token = mapper.submit_pe(b1, b2, expected)
+                    if pending is not None:
+                        fold(pending)
+                    pending = (token, (b1, b2))
+                    continue
+                # submit the batch whose H2D already ran under the
+                # previous compute, then start this batch's transfer
+                # under the submitted compute (the raw upload is
+                # hundreds of ms on a tunneled chip)
+                if pf is not None:
+                    token = mapper.submit_pe(pf[0], expected)
+                    nxt = (mapper.prefetch_pe(b1, b2), (b1, b2))
+                    if pending is not None:
+                        fold(pending)
+                    pending = (token, pf[1])
+                    pf = nxt
+                else:
+                    pf = (mapper.prefetch_pe(b1, b2), (b1, b2))
+            if pf is not None:
+                token = mapper.submit_pe(pf[0], expected)
                 if pending is not None:
                     fold(pending)
-                pending = (token, (b1, b2))
+                pending = (token, pf[1])
     else:
         for f in opts.unmated_reads:
             for b in iter_fastq_batches(

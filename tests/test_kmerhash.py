@@ -101,3 +101,40 @@ def test_word16_bloom_no_false_negatives(toy_world):
     rng = np.random.default_rng(3)
     fp = present(rng.integers(0, 2**32, 4096, dtype=np.uint32)).mean()
     assert fp < 0.5
+
+
+def test_kmer_bloom_single_word_no_false_negatives(toy_world):
+    """The sweep filter's single-word layout (word from mix_hash, both
+    bits from disjoint fields of filter_hash2) must cover every k-mer
+    key actually in the table — a false negative would silently drop
+    mappings in the kernel's fast-forward."""
+    from sailfish_tpu.index.kmerhash import build_kmer_bloom, filter_hash2_u32
+
+    idx = toy_world["idx"]
+    ht = idx.kmer_ht
+    bl = build_kmer_bloom(ht)
+    words = bl["filt_rows"].ravel().view(np.uint32)
+    wmask = np.uint32((1 << bl["filt_bits_log2"]) // 32 - 1)
+
+    occ = ht["ht_cnt"].ravel() > 0
+    k0 = ht["ht_key0"].ravel()[occ]
+    k1 = ht["ht_key1"].ravel()[occ]
+    w = mix_hash_u32(k0, k1) & wmask
+    h2 = filter_hash2_u32(k0, k1)
+    v = words[w.astype(np.int64)]
+    hit = (((v >> (h2 & np.uint32(31)))
+            & (v >> ((h2 >> np.uint32(5)) & np.uint32(31))))
+           & np.uint32(1)) == 1
+    assert hit.all()
+
+    # random foreign keys are mostly absent (the filter's usefulness)
+    rng = np.random.default_rng(0)
+    fk0 = rng.integers(0, 1 << 32, 4000, dtype=np.uint32)
+    fk1 = rng.integers(0, 1 << 32, 4000, dtype=np.uint32)
+    w = mix_hash_u32(fk0, fk1) & wmask
+    h2 = filter_hash2_u32(fk0, fk1)
+    v = words[w.astype(np.int64)]
+    hit = (((v >> (h2 & np.uint32(31)))
+            & (v >> ((h2 >> np.uint32(5)) & np.uint32(31))))
+           & np.uint32(1)) == 1
+    assert hit.mean() < 0.35
