@@ -87,7 +87,10 @@ class QuantOpts:
                                    # probed position (hit OR miss)
                                    # consumes one step in every backend.
     kernel: str = "xla"            # mapping scan implementation: "xla"
-                                   # (map/kernels.py) or "pallas"
+                                   # (map/kernels.py), "xla2"
+                                   # (map/kernels2.py — round-compacted
+                                   # vectorized scan with a Bloom
+                                   # presence sweep) or "pallas"
                                    # (map/pallas_kernel.py — per-lane
                                    # dynamic loops + DMA-pipelined
                                    # candidate windows; reads <= 128bp)

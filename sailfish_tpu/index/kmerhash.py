@@ -160,9 +160,12 @@ def filter_hash2_u32(key0, key1):
     return h
 
 
-def build_kmer_bloom(ht: dict, max_bits_log2: int = 26) -> dict:
+def build_kmer_bloom(ht: dict, max_bits_log2: int = 26,
+                     bits_per_key: int = 4) -> dict:
     """Presence (Bloom) filter over the table's k-mer keys, sized to
-    ~4 bits/key (capped so it fits comfortably in TPU VMEM).
+    ~`bits_per_key` bits/key (default 4, capped so it fits comfortably
+    in TPU VMEM; the xla2 kernel builds a second, larger instance that
+    lives in HBM where a lower false-positive rate is worth the bytes).
 
     Two probes per test: bit1 = mix_hash_u32(k0,k1) & (m-1), bit2 =
     filter_hash2_u32(k0,k1) & (m-1).  No false negatives, so the
@@ -177,7 +180,8 @@ def build_kmer_bloom(ht: dict, max_bits_log2: int = 26) -> dict:
     k1 = ht["ht_key1"].ravel()[occ]
     n = int(occ.sum())
     bits_log2 = 15  # floor: 8 rows of 128 i32 (one aligned VMEM tile)
-    while (1 << bits_log2) < 4 * max(n, 1) and bits_log2 < max_bits_log2:
+    while (1 << bits_log2) < bits_per_key * max(n, 1) \
+            and bits_log2 < max_bits_log2:
         bits_log2 += 1
     m = 1 << bits_log2
     # SINGLE-WORD blocked layout: both probe bits of a key live in ONE

@@ -1,0 +1,398 @@
+"""Round-compacted XLA quasi-mapping scan (kernel="xla2").
+
+Same MMP semantics as map/kernels.py and the Pallas kernel (RapMap-
+parity nip/jump advance, exact-k hash seeding, candidate cap +
+overflow — the hit sets behind /root/reference/src/SailfishQuantify.cpp
+:192-213), organized for the TPU's measured strengths instead of
+per-lane sequencing:
+
+  * element gathers run ~95M/s on a v5e and 131k-row sorts are ~free,
+    while the Pallas kernel's per-lane scalar sequencing costs ~5us per
+    active lane — so this formulation has NO per-lane control flow
+  * k-mer PRESENCE for every (lane, position) is precomputed in one
+    vectorized pass (one single-word Bloom gather per position); the
+    per-position miss sweep of the sequential scan then collapses into
+    arithmetic ("next present position >= p" via a reverse cummin).
+    A filter-negative PROVES the k-mer absent from the table, so a
+    swept position behaves exactly like a probed miss (1 step, no hit,
+    no overflow) — identical semantics, zero HBM traffic
+  * the scan runs as a static schedule of ROUNDS: each round advances
+    every active lane to its next present position, hash-probes there
+    (bucket-row gathers + vectorized 4-entry resolve), expands
+    candidates, computes packed-word LCPs (16 bases per gathered u32),
+    and advances by the nip/jump rule
+  * between rounds active lanes COMPACT to the front (one stable sort)
+    and the next round runs at a statically smaller width — most lanes
+    finish in 1-3 probes (an error-free read maps in ONE), so late
+    rounds cost ~nothing
+  * candidate expansion is TIERED: seeds with cnt <= c_tier0 expand
+    inline; wider seeds (cnt <= cand_cap) compact into a small static
+    side-buffer expanded at full width.  A wide seed that does not fit
+    the buffer is DEFERRED (its lane simply retries next round), never
+    dropped — exactness does not depend on the buffer size
+  * lanes that outlive the round schedule (error-dense reads, Bloom
+    false-positive chains, N-runs over low-complexity text) finish in a
+    bounded `lax.while_loop` TAIL at a small static width running the
+    same round body — the loop exits as soon as no lane is active, so
+    ordinary batches pay ~zero for the exactness guarantee
+
+Differential tests pin this kernel bit-identical to map/kernels.py and
+the numpy oracle (tests/test_xla2.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kernels import NEG, _clz32, _mix_u32
+
+
+def _mix2_u32(k0, k1):
+    """index/kmerhash.filter_hash2_u32 (bit positions for the
+    single-word Bloom test) — must match bit-for-bit."""
+    h = (k1 * jnp.uint32(0x27D4EB2F)) ^ (k0 * jnp.uint32(0x165667B1))
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(11))
+    return h
+
+
+def _round_widths(b2: int, n_rounds: int, floor: int):
+    """Static compaction schedule: half width twice (wrong-orientation
+    lanes die in the presence precompute, so ~half of B2 is the real
+    initial active set), then halve down to the floor."""
+    floor = max(16, min(floor, b2))
+    w = min(b2, max(floor, b2 // 2))
+    out = []
+    for r in range(n_rounds):
+        out.append(w)
+        if r >= 1:
+            w = max(floor, w // 2)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cand_cap", "c_tier0", "max_mmps", "max_steps",
+                     "ht_probes", "ht_bits", "skip_jump", "filt_bits",
+                     "n_rounds", "floor_width", "wide_div", "tail_width",
+                     "tail_iters"),
+)
+def map_oriented_lanes_xla2(
+    text,          # XLA index arrays + filt_words (uint32[m/32] Bloom)
+    lanes,         # dict from make_oriented_lanes
+    *,
+    k: int,
+    cand_cap: int,
+    max_mmps: int,
+    max_steps: int,
+    ht_probes: int,
+    ht_bits: int,
+    skip_jump: bool = False,
+    filt_bits: int,
+    c_tier0: int = 4,
+    n_rounds: int = 10,
+    floor_width: int = 4096,
+    wide_div: int = 16,
+    tail_width: int = 4096,
+    tail_iters: int = 0,
+):
+    sa = text["sa"]
+    pa = text["packed16"]
+    sep_dist = text["sep_dist"]
+    txp_of_pos = text["txp_of_pos"]
+    txp_offsets = text["txp_offsets"]
+    filt_words = text["filt_words"]
+    ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
+    ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
+
+    B2, L = lanes["codes"].shape
+    C, M = cand_cap, max_mmps
+    c0 = min(c_tier0, C)
+    n_text = sa.shape[0]
+    W16 = (L + 15) // 16
+    w_start = k // 16       # hash-seeded candidates share the first k
+    pw = lanes["pw_a"]                     # (B2, L) uint32
+    lens = lanes["lens"].astype(jnp.int32)  # (B2,)
+    bad_dist = lanes["bad_dist"]           # (B2, L) int32
+    key1_shift = jnp.uint32(2 * (32 - k)) if k > 16 else jnp.uint32(0)
+    hmask = jnp.int32((1 << ht_bits) - 1)
+    if tail_iters <= 0:
+        tail_iters = 4 * max_steps
+
+    # ---- presence precompute: one Bloom word gather per position ----
+    # (the k-mer table's filter: negative PROVES absent, so sweeping a
+    # negative position == probing it and missing, for 1 step either way)
+    pos_ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    key0_all = pw                                           # pw[p]
+    key1_all = jnp.roll(pw, -16, axis=1) >> key1_shift      # pw[p+16]
+    h1 = _mix_u32(key0_all, key1_all)
+    h2 = _mix2_u32(key0_all, key1_all)
+    wmask = jnp.uint32((1 << filt_bits) // 32 - 1)
+    fv = filt_words[(h1 & wmask).astype(jnp.int32)]         # (B2, L)
+    bit = ((fv >> (h2 & jnp.uint32(31)))
+           & (fv >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)))
+           & jnp.uint32(1)) == 1
+    present = bit & (pos_ar + k <= lens[:, None])
+    # next present position >= p (sentinel L when none); one extra
+    # column so st_i in [0, L] always indexes validly
+    nxt = jnp.where(present, pos_ar, L)
+    nxt_present = jax.lax.cummin(nxt, axis=1, reverse=True)
+    nxt_present = jnp.concatenate(
+        [nxt_present, jnp.full((B2, 1), L, jnp.int32)], axis=1
+    )
+
+    # ---- full-width per-lane scan state, scattered into by rounds ----
+    st_i = jnp.zeros(B2, jnp.int32)
+    st_steps = jnp.zeros(B2, jnp.int32)
+    st_nm = jnp.zeros(B2, jnp.int32)
+    st_over = jnp.zeros(B2, bool)
+    st_mlen = jnp.zeros(B2, jnp.int32)
+    m_txp = jnp.zeros((B2, M, C), jnp.int32)
+    m_pos = jnp.zeros((B2, M, C), jnp.int32)
+    m_vld = jnp.zeros((B2, M, C), bool)
+    order0 = jnp.arange(B2, dtype=jnp.int32)
+
+    def active_of(st_i, st_steps, st_nm):
+        """Lanes that will actually probe next round (sweep-aware)."""
+        nx = nxt_present[order0, jnp.clip(st_i, 0, L)]
+        return (
+            (nx + k <= lens)
+            & (st_steps + (nx - st_i) < max_steps)
+            & (st_nm < M)
+        )
+
+    def compact_order(act):
+        _, order = jax.lax.sort(
+            ((~act).astype(jnp.int32), order0), dimension=0, num_keys=1,
+            is_stable=True,
+        )
+        return order
+
+    def probe(key0, key1, live):
+        """Bucketized open-addressing probe, identical to
+        kernels.seed_hash: a probed empty entry or probe exhaustion
+        proves no exact-k match."""
+        h0 = (_mix_u32(key0, key1)
+              & jnp.uint32(hmask)).astype(jnp.int32)
+        Wn = key0.shape[0]
+
+        def body(_, st):
+            h, done, found, lo, cnt = st
+            cr = ht_cnt[h]                       # (Wn, BUCKET)
+            match = (
+                (cr > 0)
+                & (ht_key0[h] == key0[:, None])
+                & (ht_key1[h] == key1[:, None])
+            )
+            anym = match.any(axis=1)
+            j = jnp.argmax(match, axis=1)[:, None]
+            hit = (~done) & anym
+            lo = jnp.where(
+                hit, jnp.take_along_axis(ht_lo[h], j, axis=1)[:, 0], lo
+            )
+            cnt = jnp.where(
+                hit, jnp.take_along_axis(cr, j, axis=1)[:, 0], cnt
+            )
+            has_empty = (cr == 0).any(axis=1)
+            found = found | hit
+            done = done | anym | has_empty
+            h = jnp.where(done, h, (h + 1) & hmask)
+            return (h, done, found, lo, cnt)
+
+        _, _, found, lo, cnt = jax.lax.fori_loop(
+            0, ht_probes, body,
+            (h0, ~live, jnp.zeros(Wn, bool),
+             jnp.zeros(Wn, ht_lo.dtype), jnp.zeros(Wn, jnp.int32)),
+        )
+        found = found & live
+        return found, lo, jnp.where(found, cnt, 0)
+
+    def expand(li, q_i, lo, cnt, on, cwidth):
+        """Candidate loci + LCPs for `cwidth` candidates per row.
+        Returns (lstar, txp, posn, best) with lstar=-1 where ~on."""
+        crange = jnp.arange(cwidth, dtype=jnp.int32)[None, :]
+        cvalid = (crange < cnt[:, None]) & on[:, None]
+        cidx = lo[:, None] + jnp.minimum(
+            crange, jnp.maximum(cnt[:, None] - 1, 0)
+        ).astype(lo.dtype)
+        g = sa[jnp.clip(cidx, 0, n_text - 1)]
+        lcp = jnp.full(g.shape, 16 * w_start, dtype=jnp.int32)
+        matched = jnp.ones(g.shape, dtype=bool)
+        for w in range(w_start, W16):
+            depth = 16 * w
+            qa = pw[li, jnp.clip(q_i + depth, 0, L - 1)][:, None]
+            ta = pa[g + depth]
+            x = qa ^ ta
+            add = jnp.where(x == 0, 16, _clz32(x) >> 1)
+            lcp = lcp + jnp.where(matched, add, 0)
+            matched = matched & (x == 0)
+        lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
+        lcp = jnp.minimum(lcp, bad_dist[li, jnp.clip(q_i, 0, L - 1)][:, None])
+        lcp = jnp.where(cvalid, lcp, -1)
+        lstar = jnp.max(lcp, axis=1)
+        txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
+        posn = (g - txp_offsets[txp]).astype(jnp.int32) - q_i[:, None]
+        best = (lcp == lstar[:, None]) & cvalid
+        return lstar, txp, posn, best
+
+    def record(m_txp, m_pos, m_vld, li, slot, txp, posn, best, hit):
+        """Scatter one MMP's candidates into (lane, slot); non-hit rows
+        scatter out of range and drop."""
+        gi = jnp.where(hit, li, B2)
+        si = jnp.where(hit, slot, 0)
+        cw = txp.shape[1]
+        if cw < C:
+            zi = jnp.zeros((txp.shape[0], C - cw), jnp.int32)
+            zb = jnp.zeros((txp.shape[0], C - cw), bool)
+            txp = jnp.concatenate([txp, zi], axis=1)
+            posn = jnp.concatenate([posn, zi], axis=1)
+            best = jnp.concatenate([best, zb], axis=1)
+        m_txp = m_txp.at[gi, si].set(txp, mode="drop")
+        m_pos = m_pos.at[gi, si].set(posn, mode="drop")
+        m_vld = m_vld.at[gi, si].set(best & hit[:, None], mode="drop")
+        return m_txp, m_pos, m_vld
+
+    def round_step(sel, state, wide_cap):
+        """One probe round over lanes `sel` (active-compacted)."""
+        (st_i, st_steps, st_nm, st_over, st_mlen,
+         m_txp, m_pos, m_vld) = state
+        Wr = sel.shape[0]
+        i0 = st_i[sel]
+        # sweep: absent positions each consume one step, exactly like
+        # the sequential kernel's probe-and-miss at those positions
+        i1 = nxt_present[sel, jnp.clip(i0, 0, L)]
+        steps_at = st_steps[sel] + (i1 - i0)
+        live = (
+            (i1 + k <= lens[sel])
+            & (steps_at < max_steps)
+            & (st_nm[sel] < M)
+        )
+        key0 = pw[sel, jnp.clip(i1, 0, L - 1)]
+        key1 = pw[sel, jnp.clip(i1 + 16, 0, L - 1)] >> key1_shift
+        found, lo, cnt = probe(key0, key1, live)
+        over_step = found & (cnt > C)
+        t0 = found & ~over_step & (cnt <= c0)
+        tw = found & ~over_step & (cnt > c0)
+
+        # tier 0: inline expansion at width c0
+        lstar, txp, posn, best = expand(sel, i1, lo, cnt, t0, c0)
+        lstar = jnp.where(t0, lstar, -1)
+
+        # wide tier: compact into a small static buffer at full C;
+        # seeds beyond the buffer DEFER (lane retries next round)
+        rank = jnp.cumsum(tw.astype(jnp.int32)) - 1
+        fit = tw & (rank < wide_cap)
+        worder = jnp.argsort(~tw, stable=True).astype(jnp.int32)
+        b = worder[:wide_cap]                      # rows within sel
+        bon = jnp.arange(wide_cap, dtype=jnp.int32) < jnp.minimum(
+            tw.sum(), wide_cap
+        )
+        bl, bq = sel[b], i1[b]
+        wlstar, wtxp, wposn, wbest = expand(
+            bl, bq, lo[b], jnp.where(bon, cnt[b], 0), bon, C
+        )
+        # scatter wide lstar back to rows (deferred rows stay -1)
+        lstar = lstar.at[jnp.where(bon, b, Wr)].set(
+            jnp.where(bon, wlstar, 0), mode="drop"
+        )
+
+        hit = (t0 | fit) & (lstar >= k)
+        m_txp, m_pos, m_vld = record(
+            m_txp, m_pos, m_vld, sel, st_nm[sel], txp, posn, best,
+            t0 & hit,
+        )
+        whit = bon & (wlstar >= k) & fit[b]
+        m_txp, m_pos, m_vld = record(
+            m_txp, m_pos, m_vld, bl, st_nm[bl], wtxp, wposn, wbest, whit
+        )
+
+        first = hit & (st_nm[sel] == 0)
+        st_mlen = st_mlen.at[jnp.where(first, sel, B2)].set(
+            jnp.where(first, lstar, 0), mode="drop"
+        )
+
+        if skip_jump:
+            hadv = lstar + 1
+        else:
+            hadv = jnp.maximum(1, lstar - k + 1)
+        deferred = tw & ~fit
+        resolved = live & ~deferred
+        adv = jnp.where(hit, hadv, 1)
+        ni = jnp.where(resolved, i1 + adv, i1)
+        nsteps = steps_at + resolved.astype(jnp.int32)
+        st_i = st_i.at[sel].set(ni)
+        st_steps = st_steps.at[sel].set(nsteps)
+        st_nm = st_nm.at[sel].set(st_nm[sel] + hit.astype(jnp.int32))
+        st_over = st_over.at[sel].set(st_over[sel] | over_step)
+        return (st_i, st_steps, st_nm, st_over, st_mlen,
+                m_txp, m_pos, m_vld)
+
+    # ---- static rounds, geometric compaction ----
+    state = (st_i, st_steps, st_nm, st_over, st_mlen, m_txp, m_pos, m_vld)
+    for Wr in _round_widths(B2, n_rounds, floor_width):
+        act = active_of(state[0], state[1], state[2])
+        order = compact_order(act)
+        wc = max(8, min(Wr, max(Wr // wide_div, 64)))
+        state = round_step(order[:Wr], state, wc)
+
+    # ---- exactness tail: same body in a while_loop, exits when no
+    # lane is active (ordinary batches exit immediately) ----
+    TW = max(16, min(tail_width, B2))
+    WT = max(8, min(TW, max(TW // wide_div, 64)))
+
+    def t_cond(carry):
+        it, state = carry
+        act = active_of(state[0], state[1], state[2])
+        return (it < tail_iters) & jnp.any(act)
+
+    def t_body(carry):
+        it, state = carry
+        act = active_of(state[0], state[1], state[2])
+        order = compact_order(act)
+        return (it + 1, round_step(order[:TW], state, WT))
+
+    _, state = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), state))
+    (st_i, st_steps, st_nm, st_over, st_mlen,
+     m_txp, m_pos, m_vld) = state
+    # only reachable through the tail_iters safety cap: conservative
+    st_over = st_over | active_of(st_i, st_steps, st_nm)
+
+    # ---- intersection + dedupe + sort (identical to kernels.py) ----
+    hvalid = m_vld[:, 0, :]
+    htxp = m_txp[:, 0, :]
+    hpos = m_pos[:, 0, :]
+    for m in range(1, M):
+        has_m = st_nm > m
+        match = (
+            (htxp[:, :, None] == m_txp[:, m, None, :])
+            & (hpos[:, :, None] == m_pos[:, m, None, :])
+            & m_vld[:, m, None, :]
+        ).any(axis=2)
+        hvalid = hvalid & jnp.where(has_m[:, None], match, True)
+
+    key_t = jnp.where(hvalid, htxp, NEG)
+    ord1 = jnp.argsort(hpos, axis=1, stable=True)
+    t1 = jnp.take_along_axis(key_t, ord1, axis=1)
+    ord2 = jnp.argsort(t1, axis=1, stable=True)
+    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    s_txp = jnp.take_along_axis(htxp, order, axis=1)
+    s_pos = jnp.take_along_axis(hpos, order, axis=1)
+    s_vld = jnp.take_along_axis(hvalid, order, axis=1)
+    first = jnp.ones_like(s_vld)
+    first = first.at[:, 1:].set(
+        ~((s_txp[:, 1:] == s_txp[:, :-1]) & s_vld[:, :-1])
+    )
+    s_vld = s_vld & first
+
+    return {
+        "txp": s_txp,
+        "pos": s_pos,
+        "valid": s_vld,
+        "mlen": st_mlen,
+        "overflow": st_over,
+        "num_mapped_loci": s_vld.sum(axis=1),
+    }

@@ -247,13 +247,14 @@ def _scan_kernel(
                 stop.astype(I32),
             )
 
-        # 16 positions per lax iteration: the loop-carry overhead on the
+        # 8 positions per lax iteration: the loop-carry overhead on the
         # scalar unit (~400ns/iter measured) dwarfs the filter test
         # itself (~30ns single-word), so amortize it.  step1 is
         # idempotent once stopped (i/steps frozen by the wheres, h1
         # recomputed at the frozen position), so overscan inside a
-        # block is harmless.
-        unroll = 16 if filt_bits > 0 else 1
+        # block is harmless.  (16 was tried: Mosaic compile time blew
+        # past 15 minutes — the body inlines per lane at two sites.)
+        unroll = 8 if filt_bits > 0 else 1
 
         def body(c):
             for _ in range(unroll):
@@ -320,20 +321,20 @@ def _scan_kernel(
         r8 = pltpu.roll(htrow_s[lane * 8 : lane * 8 + 8, :],
                         8 - (row & 7), 0)
         rolled = pltpu.roll(r8[0:1, :], 128 - (h & 7) * 16, 1)
-        found = jnp.asarray(False)
-        flo = I32(0)
-        fcnt = I32(0)
-        has_empty = jnp.asarray(False)
-        for e in range(4):
-            ek0 = rolled[0, e]
-            ek1 = rolled[0, 4 + e]
-            elo = rolled[0, 8 + e]
-            ecnt = rolled[0, 12 + e]
-            hit_e = (ecnt > 0) & (ek0 == key0) & (ek1 == key1)
-            flo = jnp.where(hit_e & ~found, elo, flo)
-            fcnt = jnp.where(hit_e & ~found, ecnt, fcnt)
-            found = found | hit_e
-            has_empty = has_empty | (ecnt == 0)
+        # vectorized bucket resolve: the four entries compare as (1,4)
+        # vector ops and reduce to four scalars, instead of sixteen
+        # lane-extract reads + scalar chains (table keys are unique, so
+        # at most one entry can match)
+        key0v = rolled[0:1, 0:4]
+        key1v = rolled[0:1, 4:8]
+        lov = rolled[0:1, 8:12]
+        cntv = rolled[0:1, 12:16]
+        match = (cntv > 0) & (key0v == key0) & (key1v == key1)
+        found = jnp.max(match.astype(jnp.int32)) == I32(1)
+        flo = jnp.max(jnp.where(match, lov, I32(-(2**31))))
+        flo = jnp.where(found, flo, I32(0))
+        fcnt = jnp.max(jnp.where(match, cntv, I32(0)))
+        has_empty = jnp.min(cntv) == I32(0)
         att = st_s[lane, 7]
         exhausted = ~found & ~has_empty & (att + 1 >= ht_probes)
         miss = (has_empty & ~found) | exhausted

@@ -219,6 +219,12 @@ class DeviceMapperBackend:
         self._pallas_n_text = None
         self._pallas_filt_bits = None
         self._pallas_w16_bits = 0
+        self._xla2_text = None
+        self._xla2_filt_bits = 0
+        if opts.kernel == "xla2" and index.kmer_ht is None:
+            # xla2's presence sweep needs the k-mer table's Bloom keys
+            opts = dataclasses.replace(opts, kernel="xla")
+            self.opts = opts
         # SA indices and global text positions are int32 normally,
         # int64 for big_sa indexes (kernels derive dtypes from these)
         pdt = jnp.int64 if index.big_sa else jnp.int32
@@ -328,6 +334,24 @@ class DeviceMapperBackend:
         arrays are serialized into the HLO as constants, and a ~300MB
         index inside the program body overflows remote-compile request
         limits and bloats every compile)."""
+        if self.opts.kernel == "xla2":
+            if getattr(self, "_xla2_text", None) is None:
+                from ..index.kmerhash import build_kmer_bloom
+
+                # a second, larger presence filter: it lives in HBM (one
+                # gather per (lane, position)), so ~16 bits/key buys a
+                # ~1-2% false-positive rate — each fp costs the xla2
+                # kernel one wasted probe round for that lane
+                bloom = build_kmer_bloom(
+                    self._index.kmer_ht, max_bits_log2=30, bits_per_key=16
+                )
+                self._xla2_filt_bits = int(bloom["filt_bits_log2"])
+                t2 = dict(self.text)
+                t2["filt_words"] = jnp.asarray(
+                    bloom["filt_rows"].reshape(-1).view(np.uint32)
+                )
+                self._xla2_text = t2
+            return self._xla2_text
         if self.opts.kernel == "pallas":
             if self._pallas_text is None:
                 from .pallas_kernel import prepare_pallas_text
@@ -374,6 +398,23 @@ class DeviceMapperBackend:
                 n_text=self._pallas_n_text,
                 filt_bits=self._pallas_filt_bits,
                 w16_bits=self._pallas_w16_bits,
+            )
+        elif opts.kernel == "xla2":
+            from .kernels2 import map_oriented_lanes_xla2
+
+            lanes = make_oriented_lanes(
+                jnp.asarray(codes), jnp.asarray(lens), self.prefix_bases
+            )
+            hits = map_oriented_lanes_xla2(
+                text, lanes,
+                k=self.k,
+                cand_cap=opts.hit_capacity,
+                max_mmps=opts.max_mmps,
+                max_steps=scan_budget,
+                ht_probes=self.ht_probes,
+                ht_bits=self.ht_bits,
+                skip_jump=(opts.mmp_skip == "jump"),
+                filt_bits=self._xla2_filt_bits,
             )
         else:
             lanes = make_oriented_lanes(

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BATCH = int(os.environ.get("BENCH_BATCH", 65536))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 REPS = int(os.environ.get("PROF_REPS", 3))
+KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
 
 
 def log(*a):
@@ -79,7 +80,7 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
-    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, kernel="pallas")
+    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, kernel=KERNEL)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 
@@ -103,23 +104,39 @@ def main():
            lambda r: [x.block_until_ready() for x in r])
 
     # B. kernel+postpass alone
-    from sailfish_tpu.map.pallas_kernel import map_oriented_lanes_pallas
-
     text = backend._text_arg()
     jc1 = jnp.asarray(c1)
     jlens = jnp.asarray(lens)
-    kw = dict(
-        k=idx.k, cand_cap=CAP, max_mmps=opts.max_mmps,
-        max_steps=opts.effective_scan_steps(c1.shape[1]),
-        ht_bits=backend.ht_bits, ht_probes=backend.ht_probes,
-        skip_jump=False, uniform_len=int(lens[0]),
-        n_text=backend._pallas_n_text,
-        filt_bits=backend._pallas_filt_bits,
-        w16_bits=backend._pallas_w16_bits, interpret=False,
-    )
-    timeit("B: map_oriented_lanes_pallas(m1)",
-           lambda: map_oriented_lanes_pallas(text, jc1, jlens, **kw),
-           lambda r: np.asarray(r["num_mapped_loci"]))
+    if KERNEL == "pallas":
+        from sailfish_tpu.map.pallas_kernel import map_oriented_lanes_pallas
+
+        kw = dict(
+            k=idx.k, cand_cap=CAP, max_mmps=opts.max_mmps,
+            max_steps=opts.effective_scan_steps(c1.shape[1]),
+            ht_bits=backend.ht_bits, ht_probes=backend.ht_probes,
+            skip_jump=False, uniform_len=int(lens[0]),
+            n_text=backend._pallas_n_text,
+            filt_bits=backend._pallas_filt_bits,
+            w16_bits=backend._pallas_w16_bits, interpret=False,
+        )
+        timeit("B: map_oriented_lanes_pallas(m1)",
+               lambda: map_oriented_lanes_pallas(text, jc1, jlens, **kw),
+               lambda r: np.asarray(r["num_mapped_loci"]))
+    elif KERNEL == "xla2":
+        from sailfish_tpu.map.encode import make_oriented_lanes
+        from sailfish_tpu.map.kernels2 import map_oriented_lanes_xla2
+
+        lanes = make_oriented_lanes(jc1, jnp.asarray(lens),
+                                    idx.prefix_bases)
+        kw = dict(
+            k=idx.k, cand_cap=CAP, max_mmps=opts.max_mmps,
+            max_steps=opts.effective_scan_steps(c1.shape[1]),
+            ht_bits=backend.ht_bits, ht_probes=backend.ht_probes,
+            skip_jump=False, filt_bits=backend._xla2_filt_bits,
+        )
+        timeit("B: map_oriented_lanes_xla2(m1)",
+               lambda: map_oriented_lanes_xla2(text, lanes, **kw),
+               lambda r: np.asarray(r["num_mapped_loci"]))
 
     # C. _map_lanes x2 (jnp inputs)
     jc2 = jnp.asarray(c2)
