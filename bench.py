@@ -33,6 +33,7 @@ ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
+SWEEP = int(os.environ.get("BENCH_SWEEP", 0))   # xla2: >0 windowed sweep
 
 
 def log(*a):
@@ -131,7 +132,7 @@ def main():
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
     opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, scan_shrink=SHRINK,
-                     kernel=KERNEL)
+                     kernel=KERNEL, xla2_sweep_win=SWEEP)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 

@@ -129,6 +129,11 @@ def _add_quant_parser(sub):
                    "wide-capacity second pass (XLA kernel) at this "
                    "capacity; set >= --maxReadOcc to honor the full "
                    "reference envelope on repetitive references (0 = off)")
+    p.add_argument("--xla2SweepWin", type=int, default=0,
+                   help="kernel=xla2 sweep strategy: 0 = precompute Bloom "
+                   "presence for all positions; N>0 = on-demand windowed "
+                   "sweep gathering presence only for the next N positions "
+                   "each active lane faces (identical results)")
     p.add_argument("--scanShrink", type=int, default=1,
                    help=">1: compact active lanes between MMP-scan steps, "
                    "shrinking width by this factor per step (faster, "
@@ -316,6 +321,7 @@ def _main_quant(args, argv) -> int:
         scan_shrink=args.scanShrink,
         mmp_skip=args.mmpSkip,
         kernel=args.kernel,
+        xla2_sweep_win=args.xla2SweepWin,
     )
 
     # echo the ordered invocation like cmd_info.json (reference :1263-1277)

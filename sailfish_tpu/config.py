@@ -94,6 +94,15 @@ class QuantOpts:
                                    # (map/pallas_kernel.py — per-lane
                                    # dynamic loops + DMA-pipelined
                                    # candidate windows; reads <= 128bp)
+    xla2_sweep_win: int = 0        # kernel="xla2" sweep strategy: 0 ->
+                                   # precompute Bloom presence for every
+                                   # (lane, position) up front; >0 ->
+                                   # on-demand windowed sweep that
+                                   # gathers presence only for the next
+                                   # N positions each active lane faces
+                                   # per round (identical semantics,
+                                   # ~an order of magnitude fewer Bloom
+                                   # gathers on low-error reads)
     scan_shrink: int = 1           # >1: scan steps after the first run on
                                    # a compacted active-lane subset whose
                                    # width shrinks by this factor per

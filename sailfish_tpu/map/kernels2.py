@@ -79,7 +79,7 @@ def _round_widths(b2: int, n_rounds: int, floor: int):
     static_argnames=("k", "cand_cap", "c_tier0", "max_mmps", "max_steps",
                      "ht_probes", "ht_bits", "skip_jump", "filt_bits",
                      "n_rounds", "floor_width", "wide_div", "tail_width",
-                     "tail_iters"),
+                     "tail_iters", "sweep_win"),
 )
 def map_oriented_lanes_xla2(
     text,          # XLA index arrays + filt_words (uint32[m/32] Bloom)
@@ -99,6 +99,7 @@ def map_oriented_lanes_xla2(
     wide_div: int = 16,
     tail_width: int = 4096,
     tail_iters: int = 0,
+    sweep_win: int = 0,
 ):
     sa = text["sa"]
     pa = text["packed16"]
@@ -123,27 +124,40 @@ def map_oriented_lanes_xla2(
     if tail_iters <= 0:
         tail_iters = 4 * max_steps
 
-    # ---- presence precompute: one Bloom word gather per position ----
-    # (the k-mer table's filter: negative PROVES absent, so sweeping a
-    # negative position == probing it and missing, for 1 step either way)
-    pos_ar = jnp.arange(L, dtype=jnp.int32)[None, :]
-    key0_all = pw                                           # pw[p]
-    key1_all = jnp.roll(pw, -16, axis=1) >> key1_shift      # pw[p+16]
-    h1 = _mix_u32(key0_all, key1_all)
-    h2 = _mix2_u32(key0_all, key1_all)
     wmask = jnp.uint32((1 << filt_bits) // 32 - 1)
-    fv = filt_words[(h1 & wmask).astype(jnp.int32)]         # (B2, L)
-    bit = ((fv >> (h2 & jnp.uint32(31)))
-           & (fv >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)))
-           & jnp.uint32(1)) == 1
-    present = bit & (pos_ar + k <= lens[:, None])
-    # next present position >= p (sentinel L when none); one extra
-    # column so st_i in [0, L] always indexes validly
-    nxt = jnp.where(present, pos_ar, L)
-    nxt_present = jax.lax.cummin(nxt, axis=1, reverse=True)
-    nxt_present = jnp.concatenate(
-        [nxt_present, jnp.full((B2, 1), L, jnp.int32)], axis=1
-    )
+
+    def bloom_bit(k0, k1):
+        """Single-word Bloom test: a negative PROVES the k-mer absent
+        from the table, so sweeping a negative position == probing it
+        and missing, for 1 step either way."""
+        h1 = _mix_u32(k0, k1)
+        h2 = _mix2_u32(k0, k1)
+        fv = filt_words[(h1 & wmask).astype(jnp.int32)]
+        return ((fv >> (h2 & jnp.uint32(31)))
+                & (fv >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)))
+                & jnp.uint32(1)) == 1
+
+    if sweep_win <= 0:
+        # ---- presence precompute: one Bloom gather per (lane, pos) ----
+        pos_ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+        key0_all = pw                                           # pw[p]
+        key1_all = jnp.roll(pw, -16, axis=1) >> key1_shift      # pw[p+16]
+        bit = bloom_bit(key0_all, key1_all)
+        present = bit & (pos_ar + k <= lens[:, None])
+        # next present position >= p (sentinel L when none); one extra
+        # column so st_i in [0, L] always indexes validly
+        nxt = jnp.where(present, pos_ar, L)
+        nxt_present = jax.lax.cummin(nxt, axis=1, reverse=True)
+        nxt_present = jnp.concatenate(
+            [nxt_present, jnp.full((B2, 1), L, jnp.int32)], axis=1
+        )
+    else:
+        # ---- on-demand sweep: Bloom gathers only for the window of
+        # positions each active lane actually faces this round.  Most
+        # lanes probe 1-3 positions total, so fetching presence for all
+        # L positions up front wastes ~an order of magnitude of gather
+        # bandwidth; the window pays only for what the scan visits.
+        nxt_present = None
 
     # ---- full-width per-lane scan state, scattered into by rounds ----
     st_i = jnp.zeros(B2, jnp.int32)
@@ -158,6 +172,16 @@ def map_oriented_lanes_xla2(
 
     def active_of(st_i, st_steps, st_nm):
         """Lanes that will actually probe next round (sweep-aware)."""
+        if nxt_present is None:
+            # window mode can't see the next present position without
+            # gathering; a lane stays active until it sweeps off the
+            # read end or out of its step budget (same termination,
+            # discovered a window at a time)
+            return (
+                (st_i + k <= lens)
+                & (st_steps < max_steps)
+                & (st_nm < M)
+            )
         nx = nxt_present[order0, jnp.clip(st_i, 0, L)]
         return (
             (nx + k <= lens)
@@ -264,13 +288,38 @@ def map_oriented_lanes_xla2(
         i0 = st_i[sel]
         # sweep: absent positions each consume one step, exactly like
         # the sequential kernel's probe-and-miss at those positions
-        i1 = nxt_present[sel, jnp.clip(i0, 0, L)]
-        steps_at = st_steps[sel] + (i1 - i0)
-        live = (
-            (i1 + k <= lens[sel])
-            & (steps_at < max_steps)
-            & (st_nm[sel] < M)
-        )
+        if nxt_present is None:
+            S = sweep_win
+            jr = jnp.arange(S, dtype=jnp.int32)[None, :]
+            pj = i0[:, None] + jr                           # (Wr, S)
+            pjc = jnp.clip(pj, 0, L - 1)
+            k0j = pw[sel[:, None], pjc]
+            k1j = pw[sel[:, None], jnp.clip(pj + 16, 0, L - 1)] \
+                >> key1_shift
+            candj = (
+                bloom_bit(k0j, k1j)
+                & (pj + k <= lens[sel][:, None])
+                & (st_steps[sel][:, None] + jr < max_steps)
+            )
+            has = candj.any(axis=1)
+            jstar = jnp.argmax(candj, axis=1)
+            # no candidate in the window: every window position is a
+            # proven miss / off-end / over-budget, so the lane advances
+            # blind by S (charging S sweep steps; over-charge only
+            # happens to lanes the end/budget rules already killed)
+            i1 = jnp.where(has, i0 + jstar, i0)
+            steps_at = st_steps[sel] + jnp.where(has, jstar, 0)
+            live = has & (st_nm[sel] < M)
+        else:
+            S = 0
+            has = None
+            i1 = nxt_present[sel, jnp.clip(i0, 0, L)]
+            steps_at = st_steps[sel] + (i1 - i0)
+            live = (
+                (i1 + k <= lens[sel])
+                & (steps_at < max_steps)
+                & (st_nm[sel] < M)
+            )
         key0 = pw[sel, jnp.clip(i1, 0, L - 1)]
         key1 = pw[sel, jnp.clip(i1 + 16, 0, L - 1)] >> key1_shift
         found, lo, cnt = probe(key0, key1, live)
@@ -324,6 +373,10 @@ def map_oriented_lanes_xla2(
         adv = jnp.where(hit, hadv, 1)
         ni = jnp.where(resolved, i1 + adv, i1)
         nsteps = steps_at + resolved.astype(jnp.int32)
+        if nxt_present is None:
+            # window-exhausted lanes advance past the whole window
+            ni = jnp.where(has, ni, i0 + S)
+            nsteps = jnp.where(has, nsteps, st_steps[sel] + S)
         st_i = st_i.at[sel].set(ni)
         st_steps = st_steps.at[sel].set(nsteps)
         st_nm = st_nm.at[sel].set(st_nm[sel] + hit.astype(jnp.int32))

@@ -415,6 +415,7 @@ class DeviceMapperBackend:
                 ht_bits=self.ht_bits,
                 skip_jump=(opts.mmp_skip == "jump"),
                 filt_bits=self._xla2_filt_bits,
+                sweep_win=opts.xla2_sweep_win,
             )
         else:
             lanes = make_oriented_lanes(

@@ -88,14 +88,15 @@ def _sim_batch(toy_world, n, rng, err_rate=0.3, readlen=50, L=56):
     return codes, lens
 
 
-def test_xla2_matches_xla_kernel(toy_world):
+@pytest.mark.parametrize("sweep", [0, 1, 3, 8])
+def test_xla2_matches_xla_kernel(toy_world, sweep):
     dev = DeviceMapperBackend(toy_world["idx"], QuantOpts())
     rng = np.random.default_rng(11)
     codes, lens = _sim_batch(toy_world, 96, rng)
     for skip in (False, True):
         res1, res2 = _run_both(
             dev, codes, lens, cand_cap=16, max_mmps=4, max_steps=56,
-            skip_jump=skip,
+            skip_jump=skip, sweep_win=sweep,
         )
         _assert_equal(res1, res2)
 
@@ -106,11 +107,13 @@ def test_xla2_tiny_buffers_still_exact(toy_world):
     dev = DeviceMapperBackend(toy_world["idx"], QuantOpts())
     rng = np.random.default_rng(13)
     codes, lens = _sim_batch(toy_world, 64, rng, err_rate=0.6)
-    res1, res2 = _run_both(
-        dev, codes, lens, cand_cap=8, max_mmps=3, max_steps=56,
-        n_rounds=2, floor_width=16, wide_div=128, tail_width=16,
-    )
-    _assert_equal(res1, res2)
+    for sweep in (0, 2):
+        res1, res2 = _run_both(
+            dev, codes, lens, cand_cap=8, max_mmps=3, max_steps=56,
+            n_rounds=2, floor_width=16, wide_div=128, tail_width=16,
+            sweep_win=sweep,
+        )
+        _assert_equal(res1, res2)
 
 
 def test_xla2_paralogs_and_overflow():
@@ -133,10 +136,12 @@ def test_xla2_paralogs_and_overflow():
         p = int(rng.integers(0, 450))
         codes[i, :50] = seqs[i % 24][p : p + 50]
     for cap in (4, 8, 32):
-        res1, res2 = _run_both(
-            dev, codes, lens, cand_cap=cap, max_mmps=4, max_steps=56,
-        )
-        _assert_equal(res1, res2)
+        for sweep in (0, 8):
+            res1, res2 = _run_both(
+                dev, codes, lens, cand_cap=cap, max_mmps=4, max_steps=56,
+                sweep_win=sweep,
+            )
+            _assert_equal(res1, res2)
 
 
 def test_xla2_backend_matches_oracle(toy_world):
