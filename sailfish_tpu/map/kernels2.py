@@ -109,6 +109,7 @@ def map_oriented_lanes_xla2(
     filt_words = text["filt_words"]
     ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
     ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
+    ht_fused = text.get("ht_fused")     # (S, BUCKET*4) u32 or absent
 
     B2, L = lanes["codes"].shape
     C, M = cand_cap, max_mmps
@@ -206,17 +207,30 @@ def map_oriented_lanes_xla2(
 
         def body(_, st):
             h, done, found, lo, cnt = st
-            cr = ht_cnt[h]                       # (Wn, BUCKET)
-            match = (
-                (cr > 0)
-                & (ht_key0[h] == key0[:, None])
-                & (ht_key1[h] == key1[:, None])
-            )
+            if ht_fused is not None:
+                # one row gather carries the whole bucket:
+                # [key0, key1, lo, cnt] x BUCKET entries
+                fr = ht_fused[h].reshape(h.shape[0], -1, 4)
+                cr = fr[:, :, 3].astype(jnp.int32)
+                lor = fr[:, :, 2].astype(ht_lo.dtype)
+                match = (
+                    (cr > 0)
+                    & (fr[:, :, 0] == key0[:, None])
+                    & (fr[:, :, 1] == key1[:, None])
+                )
+            else:
+                cr = ht_cnt[h]                   # (Wn, BUCKET)
+                lor = ht_lo[h]
+                match = (
+                    (cr > 0)
+                    & (ht_key0[h] == key0[:, None])
+                    & (ht_key1[h] == key1[:, None])
+                )
             anym = match.any(axis=1)
             j = jnp.argmax(match, axis=1)[:, None]
             hit = (~done) & anym
             lo = jnp.where(
-                hit, jnp.take_along_axis(ht_lo[h], j, axis=1)[:, 0], lo
+                hit, jnp.take_along_axis(lor, j, axis=1)[:, 0], lo
             )
             cnt = jnp.where(
                 hit, jnp.take_along_axis(cr, j, axis=1)[:, 0], cnt

@@ -350,6 +350,19 @@ class DeviceMapperBackend:
                 t2["filt_words"] = jnp.asarray(
                     bloom["filt_rows"].reshape(-1).view(np.uint32)
                 )
+                # row-fused bucket layout: [key0, key1, lo, cnt] per
+                # entry so one probe costs ONE row gather instead of
+                # three (int32-SA indexes only; big_sa lo doesn't fit
+                # a u32 lane and routes to the split-array path)
+                ht = self._index.kmer_ht
+                if ht["ht_lo"].dtype == np.int32:
+                    t2["ht_fused"] = jnp.asarray(np.stack(
+                        [ht["ht_key0"].view(np.uint32),
+                         ht["ht_key1"].view(np.uint32),
+                         ht["ht_lo"].view(np.uint32),
+                         ht["ht_cnt"].view(np.uint32)],
+                        axis=-1,
+                    ).reshape(ht["ht_key0"].shape[0], -1))
                 self._xla2_text = t2
             return self._xla2_text
         if self.opts.kernel == "pallas":

@@ -21,7 +21,7 @@ from sailfish_tpu.quant import RefMapperBackend
 from conftest import to_batch
 
 
-def _xla2_text(dev, bits_per_key=16):
+def _xla2_text(dev, bits_per_key=16, fused=False):
     bloom = build_kmer_bloom(
         dev._index.kmer_ht, max_bits_log2=30, bits_per_key=bits_per_key
     )
@@ -29,12 +29,21 @@ def _xla2_text(dev, bits_per_key=16):
     t2["filt_words"] = jnp.asarray(
         bloom["filt_rows"].reshape(-1).view(np.uint32)
     )
+    if fused:
+        ht = dev._index.kmer_ht
+        t2["ht_fused"] = jnp.asarray(np.stack(
+            [ht["ht_key0"].view(np.uint32),
+             ht["ht_key1"].view(np.uint32),
+             ht["ht_lo"].view(np.uint32),
+             ht["ht_cnt"].view(np.uint32)],
+            axis=-1,
+        ).reshape(ht["ht_key0"].shape[0], -1))
     return t2, int(bloom["filt_bits_log2"])
 
 
 def _run_both(dev, codes, lens, *, cand_cap, max_mmps, max_steps,
-              skip_jump=False, **x2kw):
-    text2, fbits = _xla2_text(dev)
+              skip_jump=False, fused=False, **x2kw):
+    text2, fbits = _xla2_text(dev, fused=fused)
     lanes = make_oriented_lanes(
         jnp.asarray(codes), jnp.asarray(lens), dev.prefix_bases
     )
@@ -88,15 +97,16 @@ def _sim_batch(toy_world, n, rng, err_rate=0.3, readlen=50, L=56):
     return codes, lens
 
 
-@pytest.mark.parametrize("sweep", [0, 1, 3, 8])
-def test_xla2_matches_xla_kernel(toy_world, sweep):
+@pytest.mark.parametrize("sweep,fused", [(0, False), (1, False),
+                                         (3, True), (8, True)])
+def test_xla2_matches_xla_kernel(toy_world, sweep, fused):
     dev = DeviceMapperBackend(toy_world["idx"], QuantOpts())
     rng = np.random.default_rng(11)
     codes, lens = _sim_batch(toy_world, 96, rng)
     for skip in (False, True):
         res1, res2 = _run_both(
             dev, codes, lens, cand_cap=16, max_mmps=4, max_steps=56,
-            skip_jump=skip, sweep_win=sweep,
+            skip_jump=skip, sweep_win=sweep, fused=fused,
         )
         _assert_equal(res1, res2)
 
