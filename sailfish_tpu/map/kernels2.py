@@ -258,16 +258,20 @@ def map_oriented_lanes_xla2(
             crange, jnp.maximum(cnt[:, None] - 1, 0)
         ).astype(lo.dtype)
         g = sa[jnp.clip(cidx, 0, n_text - 1)]
-        lcp = jnp.full(g.shape, 16 * w_start, dtype=jnp.int32)
-        matched = jnp.ones(g.shape, dtype=bool)
-        for w in range(w_start, W16):
-            depth = 16 * w
-            qa = pw[li, jnp.clip(q_i + depth, 0, L - 1)][:, None]
-            ta = pa[g + depth]
-            x = qa ^ ta
-            add = jnp.where(x == 0, 16, _clz32(x) >> 1)
-            lcp = lcp + jnp.where(matched, add, 0)
-            matched = matched & (x == 0)
+        # all depth words in two batched gathers (query + text); the
+        # sequential "while previous words matched" chain becomes an
+        # exclusive any-mismatch prefix along the depth axis
+        depths = 16 * jnp.arange(w_start, W16, dtype=jnp.int32)
+        qa = pw[li[:, None],
+                jnp.clip(q_i[:, None] + depths[None, :], 0, L - 1)]
+        ta = pa[g[:, :, None] + depths[None, None, :]]
+        x = qa[:, None, :] ^ ta                      # (Wn, cw, D)
+        add = jnp.where(x == 0, 16, _clz32(x) >> 1)
+        bad = (x != 0).astype(jnp.int32)
+        prev_bad = jnp.cumsum(bad, axis=-1) - bad    # exclusive prefix
+        lcp = 16 * w_start + jnp.where(
+            prev_bad == 0, add, 0
+        ).sum(axis=-1, dtype=jnp.int32)
         lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
         lcp = jnp.minimum(lcp, bad_dist[li, jnp.clip(q_i, 0, L - 1)][:, None])
         lcp = jnp.where(cvalid, lcp, -1)

@@ -22,6 +22,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 65536))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 REPS = int(os.environ.get("PROF_REPS", 3))
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
+SWEEP = int(os.environ.get("BENCH_SWEEP", 0))
 
 
 def log(*a):
@@ -80,7 +81,8 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
-    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, kernel=KERNEL)
+    opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP, kernel=KERNEL,
+                     xla2_sweep_win=SWEEP)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 
@@ -133,6 +135,7 @@ def main():
             max_steps=opts.effective_scan_steps(c1.shape[1]),
             ht_bits=backend.ht_bits, ht_probes=backend.ht_probes,
             skip_jump=False, filt_bits=backend._xla2_filt_bits,
+            sweep_win=SWEEP,
         )
         timeit("B: map_oriented_lanes_xla2(m1)",
                lambda: map_oriented_lanes_xla2(text, lanes, **kw),
