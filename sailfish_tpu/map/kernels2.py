@@ -74,6 +74,21 @@ def _round_widths(b2: int, n_rounds: int, floor: int):
     return out
 
 
+def _round_widths_window(b2: int, n_rounds: int, floor: int):
+    """Probe-first schedule: clean lanes (the majority) finish in round
+    one; error lanes sweep their mismatch regions for ~4-8 rounds, so
+    width decays a half-step per TWO rounds instead of halving."""
+    floor = max(16, min(floor, b2))
+    out = [min(b2, max(floor, b2 // 2))]
+    w = max(floor, b2 // 4)
+    while len(out) < n_rounds:
+        out.append(w)
+        if len(out) < n_rounds:
+            out.append(w)
+        w = max(floor, w // 2)
+    return out[:n_rounds]
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "c_tier0", "max_mmps", "max_steps",
@@ -307,30 +322,18 @@ def map_oriented_lanes_xla2(
         # sweep: absent positions each consume one step, exactly like
         # the sequential kernel's probe-and-miss at those positions
         if nxt_present is None:
-            S = sweep_win
-            jr = jnp.arange(S, dtype=jnp.int32)[None, :]
-            pj = i0[:, None] + jr                           # (Wr, S)
-            pjc = jnp.clip(pj, 0, L - 1)
-            k0j = pw[sel[:, None], pjc]
-            k1j = pw[sel[:, None], jnp.clip(pj + 16, 0, L - 1)] \
-                >> key1_shift
-            candj = (
-                bloom_bit(k0j, k1j)
-                & (pj + k <= lens[sel][:, None])
-                & (st_steps[sel][:, None] + jr < max_steps)
+            # probe-first: probe the lane's CURRENT position directly —
+            # a clean lane maps without ever touching the Bloom filter.
+            # The miss path (below) sweeps a window for the next
+            # present position.
+            i1 = i0
+            steps_at = st_steps[sel]
+            live = (
+                (i1 + k <= lens[sel])
+                & (steps_at < max_steps)
+                & (st_nm[sel] < M)
             )
-            has = candj.any(axis=1)
-            jstar = jnp.argmax(candj, axis=1)
-            # no candidate in the window: every window position is a
-            # proven miss / off-end / over-budget, so the lane advances
-            # blind by S (charging S sweep steps; over-charge only
-            # happens to lanes the end/budget rules already killed)
-            i1 = jnp.where(has, i0 + jstar, i0)
-            steps_at = st_steps[sel] + jnp.where(has, jstar, 0)
-            live = has & (st_nm[sel] < M)
         else:
-            S = 0
-            has = None
             i1 = nxt_present[sel, jnp.clip(i0, 0, L)]
             steps_at = st_steps[sel] + (i1 - i0)
             live = (
@@ -392,9 +395,29 @@ def map_oriented_lanes_xla2(
         ni = jnp.where(resolved, i1 + adv, i1)
         nsteps = steps_at + resolved.astype(jnp.int32)
         if nxt_present is None:
-            # window-exhausted lanes advance past the whole window
-            ni = jnp.where(has, ni, i0 + S)
-            nsteps = jnp.where(has, nsteps, st_steps[sel] + S)
+            # miss path: the probe at i1 consumed one step; sweep a
+            # Bloom window over i1+1.. for the next present position
+            # (a filter-negative proves a miss, so each swept position
+            # charges one step exactly like probing it).  No present
+            # position in the window -> advance past it blind.
+            S = sweep_win
+            miss = live & ~found
+            jr = jnp.arange(S, dtype=jnp.int32)[None, :]
+            pj = i1[:, None] + 1 + jr                       # (Wr, S)
+            k0j = pw[sel[:, None], jnp.clip(pj, 0, L - 1)]
+            k1j = pw[sel[:, None], jnp.clip(pj + 16, 0, L - 1)] \
+                >> key1_shift
+            candj = (
+                bloom_bit(k0j, k1j)
+                & (pj + k <= lens[sel][:, None])
+                & (steps_at[:, None] + 1 + jr < max_steps)
+            )
+            has = candj.any(axis=1)
+            jj = jnp.argmax(candj, axis=1)
+            ni_miss = jnp.where(has, i1 + 1 + jj, i1 + 1 + S)
+            ns_miss = steps_at + 1 + jnp.where(has, jj, S)
+            ni = jnp.where(miss, ni_miss, ni)
+            nsteps = jnp.where(miss, ns_miss, nsteps)
         st_i = st_i.at[sel].set(ni)
         st_steps = st_steps.at[sel].set(nsteps)
         st_nm = st_nm.at[sel].set(st_nm[sel] + hit.astype(jnp.int32))
@@ -404,7 +427,10 @@ def map_oriented_lanes_xla2(
 
     # ---- static rounds, geometric compaction ----
     state = (st_i, st_steps, st_nm, st_over, st_mlen, m_txp, m_pos, m_vld)
-    for Wr in _round_widths(B2, n_rounds, floor_width):
+    widths = (_round_widths_window(B2, n_rounds, floor_width)
+              if sweep_win > 0
+              else _round_widths(B2, n_rounds, floor_width))
+    for Wr in widths:
         act = active_of(state[0], state[1], state[2])
         order = compact_order(act)
         wc = max(8, min(Wr, max(Wr // wide_div, 64)))
