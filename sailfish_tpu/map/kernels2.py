@@ -138,7 +138,11 @@ def map_oriented_lanes_xla2(
     key1_shift = jnp.uint32(2 * (32 - k)) if k > 16 else jnp.uint32(0)
     hmask = jnp.int32((1 << ht_bits) - 1)
     if tail_iters <= 0:
-        tail_iters = 4 * max_steps
+        # window mode: a pathological lane can spend up to ht_probes
+        # rounds per position on probe chains — bound the tail so the
+        # conservative-overflow cap stays unreachable in practice
+        tail_iters = (max_steps * (ht_probes + 2)
+                      if sweep_win > 0 else 4 * max_steps)
 
     wmask = jnp.uint32((1 << filt_bits) // 32 - 1)
 
@@ -181,6 +185,7 @@ def map_oriented_lanes_xla2(
     st_nm = jnp.zeros(B2, jnp.int32)
     st_over = jnp.zeros(B2, bool)
     st_mlen = jnp.zeros(B2, jnp.int32)
+    st_h = jnp.full(B2, -1, jnp.int32)   # in-flight probe bucket (-1 idle)
     m_txp = jnp.zeros((B2, M, C), jnp.int32)
     m_pos = jnp.zeros((B2, M, C), jnp.int32)
     m_vld = jnp.zeros((B2, M, C), bool)
@@ -212,6 +217,33 @@ def map_oriented_lanes_xla2(
         )
         return order
 
+    def probe_bucket(h, key0, key1):
+        """Gather ONE bucket and test it: (anym, lo, cnt, has_empty)."""
+        if ht_fused is not None:
+            # one row gather carries the whole bucket:
+            # [key0, key1, lo, cnt] x BUCKET entries
+            fr = ht_fused[h].reshape(h.shape[0], -1, 4)
+            cr = fr[:, :, 3].astype(jnp.int32)
+            lor = fr[:, :, 2].astype(ht_lo.dtype)
+            match = (
+                (cr > 0)
+                & (fr[:, :, 0] == key0[:, None])
+                & (fr[:, :, 1] == key1[:, None])
+            )
+        else:
+            cr = ht_cnt[h]                       # (Wn, BUCKET)
+            lor = ht_lo[h]
+            match = (
+                (cr > 0)
+                & (ht_key0[h] == key0[:, None])
+                & (ht_key1[h] == key1[:, None])
+            )
+        anym = match.any(axis=1)
+        j = jnp.argmax(match, axis=1)[:, None]
+        lo = jnp.take_along_axis(lor, j, axis=1)[:, 0]
+        cnt = jnp.take_along_axis(cr, j, axis=1)[:, 0]
+        return anym, lo, cnt, (cr == 0).any(axis=1)
+
     def probe(key0, key1, live):
         """Bucketized open-addressing probe, identical to
         kernels.seed_hash: a probed empty entry or probe exhaustion
@@ -222,35 +254,10 @@ def map_oriented_lanes_xla2(
 
         def body(_, st):
             h, done, found, lo, cnt = st
-            if ht_fused is not None:
-                # one row gather carries the whole bucket:
-                # [key0, key1, lo, cnt] x BUCKET entries
-                fr = ht_fused[h].reshape(h.shape[0], -1, 4)
-                cr = fr[:, :, 3].astype(jnp.int32)
-                lor = fr[:, :, 2].astype(ht_lo.dtype)
-                match = (
-                    (cr > 0)
-                    & (fr[:, :, 0] == key0[:, None])
-                    & (fr[:, :, 1] == key1[:, None])
-                )
-            else:
-                cr = ht_cnt[h]                   # (Wn, BUCKET)
-                lor = ht_lo[h]
-                match = (
-                    (cr > 0)
-                    & (ht_key0[h] == key0[:, None])
-                    & (ht_key1[h] == key1[:, None])
-                )
-            anym = match.any(axis=1)
-            j = jnp.argmax(match, axis=1)[:, None]
+            anym, blo, bcnt, has_empty = probe_bucket(h, key0, key1)
             hit = (~done) & anym
-            lo = jnp.where(
-                hit, jnp.take_along_axis(lor, j, axis=1)[:, 0], lo
-            )
-            cnt = jnp.where(
-                hit, jnp.take_along_axis(cr, j, axis=1)[:, 0], cnt
-            )
-            has_empty = (cr == 0).any(axis=1)
+            lo = jnp.where(hit, blo, lo)
+            cnt = jnp.where(hit, bcnt, cnt)
             found = found | hit
             done = done | anym | has_empty
             h = jnp.where(done, h, (h + 1) & hmask)
@@ -315,7 +322,7 @@ def map_oriented_lanes_xla2(
 
     def round_step(sel, state, wide_cap):
         """One probe round over lanes `sel` (active-compacted)."""
-        (st_i, st_steps, st_nm, st_over, st_mlen,
+        (st_i, st_steps, st_nm, st_over, st_mlen, st_h,
          m_txp, m_pos, m_vld) = state
         Wr = sel.shape[0]
         i0 = st_i[sel]
@@ -343,7 +350,26 @@ def map_oriented_lanes_xla2(
             )
         key0 = pw[sel, jnp.clip(i1, 0, L - 1)]
         key1 = pw[sel, jnp.clip(i1 + 16, 0, L - 1)] >> key1_shift
-        found, lo, cnt = probe(key0, key1, live)
+        if nxt_present is None:
+            # chained probe: ONE bucket per round.  ~95% of present
+            # keys resolve in their home bucket; a displaced key
+            # carries its probe cursor in st_h and finishes next
+            # round, instead of every lookup paying ht_probes bucket
+            # fetches.  An empty slot or probe exhaustion proves a
+            # miss, identically to the fori_loop probe.
+            home = (_mix_u32(key0, key1)
+                    & jnp.uint32(hmask)).astype(jnp.int32)
+            hcur = st_h[sel]
+            h = jnp.where(hcur >= 0, hcur, home)
+            anym, lo, cnt, has_empty = probe_bucket(h, key0, key1)
+            attempts = (h - home) & hmask
+            found = live & anym
+            cnt = jnp.where(found, cnt, 0)
+            exhausted = attempts + 1 >= ht_probes
+            unresolved = live & ~anym & ~has_empty & ~exhausted
+        else:
+            found, lo, cnt = probe(key0, key1, live)
+            unresolved = jnp.zeros(Wr, bool)
         over_step = found & (cnt > C)
         t0 = found & ~over_step & (cnt <= c0)
         tw = found & ~over_step & (cnt > c0)
@@ -389,7 +415,7 @@ def map_oriented_lanes_xla2(
             hadv = lstar + 1
         else:
             hadv = jnp.maximum(1, lstar - k + 1)
-        deferred = tw & ~fit
+        deferred = (tw & ~fit) | unresolved
         resolved = live & ~deferred
         adv = jnp.where(hit, hadv, 1)
         ni = jnp.where(resolved, i1 + adv, i1)
@@ -401,7 +427,7 @@ def map_oriented_lanes_xla2(
             # charges one step exactly like probing it).  No present
             # position in the window -> advance past it blind.
             S = sweep_win
-            miss = live & ~found
+            miss = live & ~found & ~unresolved
             jr = jnp.arange(S, dtype=jnp.int32)[None, :]
             pj = i1[:, None] + 1 + jr                       # (Wr, S)
             k0j = pw[sel[:, None], jnp.clip(pj, 0, L - 1)]
@@ -422,11 +448,21 @@ def map_oriented_lanes_xla2(
         st_steps = st_steps.at[sel].set(nsteps)
         st_nm = st_nm.at[sel].set(st_nm[sel] + hit.astype(jnp.int32))
         st_over = st_over.at[sel].set(st_over[sel] | over_step)
-        return (st_i, st_steps, st_nm, st_over, st_mlen,
+        if nxt_present is None:
+            # carry the probe cursor: unresolved chains continue at
+            # h+1; wide-deferred lanes re-land on their matched bucket
+            # in one gather; everyone else goes idle
+            nh = jnp.where(
+                unresolved, (h + 1) & hmask,
+                jnp.where(tw & ~fit, h, -1),
+            )
+            st_h = st_h.at[sel].set(nh)
+        return (st_i, st_steps, st_nm, st_over, st_mlen, st_h,
                 m_txp, m_pos, m_vld)
 
     # ---- static rounds, geometric compaction ----
-    state = (st_i, st_steps, st_nm, st_over, st_mlen, m_txp, m_pos, m_vld)
+    state = (st_i, st_steps, st_nm, st_over, st_mlen, st_h,
+             m_txp, m_pos, m_vld)
     widths = (_round_widths_window(B2, n_rounds, floor_width)
               if sweep_win > 0
               else _round_widths(B2, n_rounds, floor_width))
@@ -453,7 +489,7 @@ def map_oriented_lanes_xla2(
         return (it + 1, round_step(order[:TW], state, WT))
 
     _, state = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), state))
-    (st_i, st_steps, st_nm, st_over, st_mlen,
+    (st_i, st_steps, st_nm, st_over, st_mlen, st_h,
      m_txp, m_pos, m_vld) = state
     # only reachable through the tail_iters safety cap: conservative
     st_over = st_over | active_of(st_i, st_steps, st_nm)
