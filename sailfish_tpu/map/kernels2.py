@@ -125,6 +125,7 @@ def map_oriented_lanes_xla2(
     ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
     ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
     ht_fused = text.get("ht_fused")     # (S, BUCKET*4) u32 or absent
+    pos_meta = text.get("pos_meta")     # (N, 3) i32 [sep, txp, off] or absent
 
     B2, L = lanes["codes"].shape
     C, M = cand_cap, max_mmps
@@ -294,30 +295,36 @@ def map_oriented_lanes_xla2(
         lcp = 16 * w_start + jnp.where(
             prev_bad == 0, add, 0
         ).sum(axis=-1, dtype=jnp.int32)
-        lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
+        if pos_meta is not None:
+            pm = pos_meta[jnp.clip(g, 0, n_text - 1)]   # (Wn, cw, 3)
+            lcp = jnp.minimum(lcp, pm[:, :, 0])
+            txp = pm[:, :, 1]
+            posn = (g - pm[:, :, 2]).astype(jnp.int32) - q_i[:, None]
+        else:
+            lcp = jnp.minimum(lcp, sep_dist[g].astype(jnp.int32))
+            txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
+            posn = (g - txp_offsets[txp]).astype(jnp.int32) - q_i[:, None]
         lcp = jnp.minimum(lcp, bad_dist[li, jnp.clip(q_i, 0, L - 1)][:, None])
         lcp = jnp.where(cvalid, lcp, -1)
         lstar = jnp.max(lcp, axis=1)
-        txp = txp_of_pos[jnp.clip(g, 0, n_text - 1)]
-        posn = (g - txp_offsets[txp]).astype(jnp.int32) - q_i[:, None]
         best = (lcp == lstar[:, None]) & cvalid
         return lstar, txp, posn, best
 
     def record(m_txp, m_pos, m_vld, li, slot, txp, posn, best, hit):
         """Scatter one MMP's candidates into (lane, slot); non-hit rows
-        scatter out of range and drop."""
+        scatter out of range and drop.  Scatters at the tier's native
+        candidate width — a (lane, slot) is written at most once per
+        scan, so columns past cw keep their zero/False init."""
         gi = jnp.where(hit, li, B2)
         si = jnp.where(hit, slot, 0)
         cw = txp.shape[1]
-        if cw < C:
-            zi = jnp.zeros((txp.shape[0], C - cw), jnp.int32)
-            zb = jnp.zeros((txp.shape[0], C - cw), bool)
-            txp = jnp.concatenate([txp, zi], axis=1)
-            posn = jnp.concatenate([posn, zi], axis=1)
-            best = jnp.concatenate([best, zb], axis=1)
-        m_txp = m_txp.at[gi, si].set(txp, mode="drop")
-        m_pos = m_pos.at[gi, si].set(posn, mode="drop")
-        m_vld = m_vld.at[gi, si].set(best & hit[:, None], mode="drop")
+        ci = jnp.arange(cw, dtype=jnp.int32)[None, :]
+        m_txp = m_txp.at[gi[:, None], si[:, None], ci].set(
+            txp, mode="drop")
+        m_pos = m_pos.at[gi[:, None], si[:, None], ci].set(
+            posn, mode="drop")
+        m_vld = m_vld.at[gi[:, None], si[:, None], ci].set(
+            best & hit[:, None], mode="drop")
         return m_txp, m_pos, m_vld
 
     def round_step(sel, state, wide_cap):

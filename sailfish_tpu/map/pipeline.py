@@ -397,6 +397,17 @@ class DeviceMapperBackend:
                          ht["ht_cnt"].view(np.uint32)],
                         axis=-1,
                     ).reshape(ht["ht_key0"].shape[0], -1))
+                # fused per-position candidate metadata: one row gather
+                # per candidate instead of the sep_dist/txp_of_pos/
+                # txp_offsets chain (int32 indexes only)
+                if self._index.sa.dtype == np.int32:
+                    i5 = self._index
+                    t2["pos_meta"] = jnp.asarray(np.stack(
+                        [i5.sep_dist.astype(np.int32),
+                         i5.txp_of_pos,
+                         i5.txp_offsets.astype(np.int32)[i5.txp_of_pos]],
+                        axis=-1,
+                    ))
                 self._xla2_text = t2
             return self._xla2_text
         if self.opts.kernel == "pallas":

@@ -38,6 +38,13 @@ def _xla2_text(dev, bits_per_key=16, fused=False):
              ht["ht_cnt"].view(np.uint32)],
             axis=-1,
         ).reshape(ht["ht_key0"].shape[0], -1))
+        i5 = dev._index
+        t2["pos_meta"] = jnp.asarray(np.stack(
+            [i5.sep_dist.astype(np.int32),
+             i5.txp_of_pos,
+             i5.txp_offsets.astype(np.int32)[i5.txp_of_pos]],
+            axis=-1,
+        ))
     return t2, int(bloom["filt_bits_log2"])
 
 
