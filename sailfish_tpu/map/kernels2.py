@@ -126,6 +126,7 @@ def map_oriented_lanes_xla2(
     ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
     ht_fused = text.get("ht_fused")     # (S, BUCKET*4) u32 or absent
     pos_meta = text.get("pos_meta")     # (N, 3) i32 [sep, txp, off] or absent
+    txt_align = text.get("txt_align")   # (N//16 + pad,) u32 aligned words
 
     B2, L = lanes["codes"].shape
     C, M = cand_cap, max_mmps
@@ -287,7 +288,23 @@ def map_oriented_lanes_xla2(
         depths = 16 * jnp.arange(w_start, W16, dtype=jnp.int32)
         qa = pw[li[:, None],
                 jnp.clip(q_i[:, None] + depths[None, :], 0, L - 1)]
-        ta = pa[g[:, :, None] + depths[None, None, :]]
+        if txt_align is not None:
+            # all depth words share one shift (depths are multiples of
+            # 16), so ONE contiguous slice of D+1 aligned words plus a
+            # funnel shift reconstructs them — XLA sees slice_sizes=D+1
+            # (one DMA descriptor per candidate) instead of D separate
+            # strided gathers
+            D = W16 - w_start
+            a0 = (g >> 4) + w_start
+            wal = jax.vmap(jax.vmap(
+                lambda a: jax.lax.dynamic_slice(txt_align, (a,), (D + 1,))
+            ))(a0)                                   # (Wn, cw, D+1)
+            sh = (2 * (g & 15)).astype(jnp.uint32)[:, :, None]
+            hi = wal[:, :, :-1] << sh
+            lo = wal[:, :, 1:] >> ((jnp.uint32(32) - sh) & jnp.uint32(31))
+            ta = hi | jnp.where(sh == 0, jnp.uint32(0), lo)
+        else:
+            ta = pa[g[:, :, None] + depths[None, None, :]]
         x = qa[:, None, :] ^ ta                      # (Wn, cw, D)
         add = jnp.where(x == 0, 16, _clz32(x) >> 1)
         bad = (x != 0).astype(jnp.int32)

@@ -408,6 +408,15 @@ class DeviceMapperBackend:
                          i5.txp_offsets.astype(np.int32)[i5.txp_of_pos]],
                         axis=-1,
                     ))
+                    # aligned text words: txt_align[a] == packed16[16a];
+                    # the LCP fetches one contiguous slice + funnel
+                    # shift instead of D strided gathers
+                    t2["txt_align"] = jnp.asarray(np.ascontiguousarray(
+                        np.concatenate([
+                            i5.packed16,
+                            np.zeros(_PACK_PAD, np.uint32),
+                        ])[::16]
+                    ))
                 self._xla2_text = t2
             return self._xla2_text
         if self.opts.kernel == "pallas":

@@ -45,6 +45,9 @@ def _xla2_text(dev, bits_per_key=16, fused=False):
              i5.txp_offsets.astype(np.int32)[i5.txp_of_pos]],
             axis=-1,
         ))
+        t2["txt_align"] = jnp.asarray(np.ascontiguousarray(
+            np.concatenate([i5.packed16, np.zeros(512, np.uint32)])[::16]
+        ))
     return t2, int(bloom["filt_bits_log2"])
 
 
