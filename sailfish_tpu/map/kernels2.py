@@ -139,6 +139,9 @@ def map_oriented_lanes_xla2(
     bad_dist = lanes["bad_dist"]           # (B2, L) int32
     key1_shift = jnp.uint32(2 * (32 - k)) if k > 16 else jnp.uint32(0)
     hmask = jnp.int32((1 << ht_bits) - 1)
+    # lane-aligned query words (qal_words[li, a] == pw[li, 16a]); the
+    # zero padding equals the A-substituted past-end convention
+    qal_words = jnp.pad(pw[:, ::16], ((0, 0), (0, W16 + 2)))
     if tail_iters <= 0:
         # window mode: a pathological lane can spend up to ht_probes
         # rounds per position on probe chains — bound the tail so the
@@ -286,8 +289,23 @@ def map_oriented_lanes_xla2(
         # sequential "while previous words matched" chain becomes an
         # exclusive any-mismatch prefix along the depth axis
         depths = 16 * jnp.arange(w_start, W16, dtype=jnp.int32)
-        qa = pw[li[:, None],
-                jnp.clip(q_i[:, None] + depths[None, :], 0, L - 1)]
+        if txt_align is not None:
+            # query words via the same funnel trick: one contiguous
+            # slice of the lane's aligned words + shift by q_i & 15
+            Dq = W16 - w_start
+            aq = (q_i >> 4) + w_start
+            qwal = jax.vmap(
+                lambda r, a: jax.lax.dynamic_slice(
+                    qal_words[r], (a,), (Dq + 1,)
+                )
+            )(li, aq)                               # (Wn, D+1)
+            shq = (2 * (q_i & 15)).astype(jnp.uint32)[:, None]
+            qhi = qwal[:, :-1] << shq
+            qlo = qwal[:, 1:] >> ((jnp.uint32(32) - shq) & jnp.uint32(31))
+            qa = qhi | jnp.where(shq == 0, jnp.uint32(0), qlo)
+        else:
+            qa = pw[li[:, None],
+                    jnp.clip(q_i[:, None] + depths[None, :], 0, L - 1)]
         if txt_align is not None:
             # all depth words share one shift (depths are multiples of
             # 16), so ONE contiguous slice of D+1 aligned words plus a
