@@ -39,6 +39,7 @@ ERR = 0.005
 CAP = int(os.environ.get("BENCH_CAP", 32))
 CAP_MAX = int(os.environ.get("BENCH_CAP_MAX", 256))
 KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
+SWEEP = int(os.environ.get("BENCH_SWEEP", 0))
 CACHE = os.environ.get("GB_CACHE", "/tmp/gencode_bench")
 
 
@@ -160,7 +161,8 @@ def main():
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
     opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP,
-                     hit_capacity_max=CAP_MAX, kernel=KERNEL)
+                     hit_capacity_max=CAP_MAX, kernel=KERNEL,
+                     xla2_sweep_win=SWEEP)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
     rng = np.random.default_rng(11)
