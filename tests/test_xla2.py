@@ -165,7 +165,8 @@ def test_xla2_paralogs_and_overflow():
 
 
 def test_xla2_backend_matches_oracle(toy_world):
-    opts2 = QuantOpts(batch_size=128, hit_capacity=16, kernel="xla2")
+    opts2 = QuantOpts(batch_size=128, hit_capacity=16, kernel="xla2",
+                      xla2_sweep_win=8)
     opts_r = QuantOpts(batch_size=128, hit_capacity=16)
     dev = DeviceMapperBackend(toy_world["idx"], opts2)
     ref = RefMapperBackend(toy_world["idx"], opts_r)
@@ -182,3 +183,13 @@ def test_xla2_backend_matches_oracle(toy_world):
         bp.frag_lens[bp.unique_paired], br.frag_lens[br.unique_paired]
     )
     np.testing.assert_array_equal(bp.fmt_counts, br.fmt_counts)
+    # single-end through the same backends (exercises submit_se
+    # packing + the xla2 kernel on mixed-orientation lanes)
+    exp_se = parse_library_format("U")
+    reads = r1[:64] + r2[64:128]
+    bs = to_batch(reads)
+    sp = dev.map_se_batch(bs, exp_se)
+    sr = ref.map_se_batch(bs, exp_se)
+    assert dict(zip(sp.labels, map(int, sp.label_counts))) == \
+        dict(zip(sr.labels, map(int, sr.label_counts)))
+    np.testing.assert_array_equal(sp.mapped, sr.mapped)
