@@ -117,13 +117,13 @@ def map_oriented_lanes_xla2(
     sweep_win: int = 0,
 ):
     sa = text["sa"]
-    pa = text["packed16"]
-    sep_dist = text["sep_dist"]
-    txp_of_pos = text["txp_of_pos"]
+    pa = text.get("packed16")
+    sep_dist = text.get("sep_dist")
+    txp_of_pos = text.get("txp_of_pos")
     txp_offsets = text["txp_offsets"]
     filt_words = text["filt_words"]
-    ht_key0, ht_key1 = text["ht_key0"], text["ht_key1"]
-    ht_lo, ht_cnt = text["ht_lo"], text["ht_cnt"]
+    ht_key0, ht_key1 = text.get("ht_key0"), text.get("ht_key1")
+    ht_lo, ht_cnt = text["ht_lo"], text.get("ht_cnt")
     ht_fused = text.get("ht_fused")     # (S, BUCKET*4) u32 or absent
     pos_meta = text.get("pos_meta")     # (N, 3) i32 [sep, txp, off] or absent
     txt_align = text.get("txt_align")   # (N//16 + pad,) u32 aligned words

@@ -397,6 +397,12 @@ class DeviceMapperBackend:
                          ht["ht_cnt"].view(np.uint32)],
                         axis=-1,
                     ).reshape(ht["ht_key0"].shape[0], -1))
+                    # the fused rows REPLACE the split table on device
+                    # (keeping both doubles multi-GB HBM at GENCODE
+                    # scale); kernels2 falls back when keys are absent
+                    for dead in ("ht_key0", "ht_key1", "ht_cnt"):
+                        t2.pop(dead, None)
+                    t2["ht_lo"] = jnp.zeros(0, jnp.int32)  # dtype token
                 # fused per-position candidate metadata: one row gather
                 # per candidate instead of the sep_dist/txp_of_pos/
                 # txp_offsets chain (int32 indexes only)
@@ -417,6 +423,8 @@ class DeviceMapperBackend:
                             np.zeros(_PACK_PAD, np.uint32),
                         ])[::16]
                     ))
+                    for dead in ("sep_dist", "txp_of_pos", "packed16"):
+                        t2.pop(dead, None)
                 self._xla2_text = t2
             return self._xla2_text
         if self.opts.kernel == "pallas":
