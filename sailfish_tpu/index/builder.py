@@ -236,7 +236,16 @@ def save_index(idx: QuasiIndex, out_dir: str) -> None:
     if idx.kmer_ht is not None:
         for kk in ("ht_key0", "ht_key1", "ht_lo", "ht_cnt"):
             arrays[kk] = idx.kmer_ht[kk]
-    np.savez(os.path.join(out_dir, "arrays.npz"), **arrays)
+    # raw .npy per array: zip-container extraction throttles multi-GB
+    # indexes to ~40MB/s on load; plain npy reads at disk speed and
+    # supports mmap
+    adir = os.path.join(out_dir, "arrays")
+    os.makedirs(adir, exist_ok=True)
+    for kk, arr in arrays.items():
+        np.save(os.path.join(adir, kk + ".npy"), arr)
+    legacy = os.path.join(out_dir, "arrays.npz")
+    if os.path.exists(legacy):
+        os.remove(legacy)
 
 
 @dataclasses.dataclass
@@ -317,7 +326,14 @@ def load_index(index_dir: str):
         )
     with open(os.path.join(index_dir, "txp_names.txt")) as fh:
         names = fh.read().splitlines()
-    arrays = np.load(os.path.join(index_dir, "arrays.npz"))
+    adir = os.path.join(index_dir, "arrays")
+    if os.path.isdir(adir):
+        arrays = {
+            f[:-4]: np.load(os.path.join(adir, f))
+            for f in os.listdir(adir) if f.endswith(".npy")
+        }
+    else:  # pre-round-2 caches
+        arrays = np.load(os.path.join(index_dir, "arrays.npz"))
     kmer_ht = None
     if header.get("has_kmer_ht"):
         kmer_ht = {
