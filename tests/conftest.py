@@ -24,6 +24,13 @@ import jax  # noqa: E402
 # the local CPU devices.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the kernel differential tests jit many
+# (shape, flag) variants; warm runs of the suite skip those compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
