@@ -32,8 +32,8 @@ NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 12))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
-KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
-SWEEP = int(os.environ.get("BENCH_SWEEP", 0))   # xla2: >0 windowed sweep
+KERNEL = os.environ.get("BENCH_KERNEL", "xla2")
+SWEEP = int(os.environ.get("BENCH_SWEEP", 8))   # xla2: >0 windowed sweep
 
 
 def log(*a):
@@ -155,11 +155,19 @@ def main():
         bs = run_batch(*batches[0])
     except Exception as e:
         log(f"kernel '{KERNEL}' failed ({type(e).__name__}); "
-            "falling back to kernel='xla'")
-        opts.kernel = "xla"
-        backend = DeviceMapperBackend(idx, opts)
-        run_batch = make_runner(backend)
-        bs = run_batch(*batches[0])
+            "falling back to kernel='pallas' then 'xla'")
+        try:
+            opts.kernel = "pallas"
+            backend = DeviceMapperBackend(idx, opts)
+            run_batch = make_runner(backend)
+            bs = run_batch(*batches[0])
+        except Exception as e2:
+            log(f"kernel 'pallas' failed ({type(e2).__name__}); "
+                "falling back to kernel='xla'")
+            opts.kernel = "xla"
+            backend = DeviceMapperBackend(idx, opts)
+            run_batch = make_runner(backend)
+            bs = run_batch(*batches[0])
     log(f"warmup (compile) {time.time()-t0:.1f}s; "
         f"mapped {bs.num_mapped}/{BATCH}")
 
