@@ -122,8 +122,25 @@ def main():
     rng = np.random.default_rng(0)
     idx, seqs = build_world(rng)
     batches = simulate_batches(seqs, rng)
+
+    # device-attach watchdog: a wedged TPU tunnel hangs PJRT client
+    # init indefinitely — fail loudly instead of eating the driver's
+    # whole timeout with no diagnostic
+    import threading
+
+    attach_done = threading.Event()
+
+    def _watchdog():
+        if not attach_done.wait(480):
+            log("FATAL: TPU tunnel unreachable (device attach hung "
+                ">480s) — no throughput measured this run")
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    dev_kind = jax.devices()[0].device_kind
+    attach_done.set()
     log(f"simulated {NUM_BATCHES} x {BATCH} read pairs "
-        f"on {jax.default_backend()} ({jax.devices()[0].device_kind})")
+        f"on {jax.default_backend()} ({dev_kind})")
 
     from sailfish_tpu.config import QuantOpts
     from sailfish_tpu.eqclass.classes import HashedEqClassAccumulator
