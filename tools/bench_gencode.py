@@ -230,6 +230,38 @@ def main():
          "iters/s", {"iterations": int(em.num_iterations),
                      "eq_classes": eq.num_classes})
 
+    # posterior samplers at scale (BASELINE config 3)
+    n_boot = int(os.environ.get("GB_BOOTSTRAPS", 0))
+    if n_boot:
+        from sailfish_tpu.infer.bootstrap import run_bootstraps
+
+        t0 = time.time()
+        n_done = sum(
+            1 for _ in run_bootstraps(
+                eq, eff, idx.num_transcripts, num_bootstraps=n_boot,
+                dtype="float32",
+            )
+        )
+        dt = time.time() - t0
+        emit("gencode_bootstraps_per_sec", n_done / max(dt, 1e-9),
+             "replicates/s", {"replicates": n_done,
+                              "eq_classes": eq.num_classes})
+    n_gibbs = int(os.environ.get("GB_GIBBS", 0))
+    if n_gibbs:
+        from sailfish_tpu.infer.gibbs import run_gibbs
+
+        t0 = time.time()
+        n_done = sum(
+            1 for _ in run_gibbs(
+                eq, eff, em.alphas, idx.num_transcripts,
+                num_samples=n_gibbs, total_mapped=float(mapped),
+            )
+        )
+        dt = time.time() - t0
+        emit("gencode_gibbs_samples_per_sec", n_done / max(dt, 1e-9),
+             "samples/s", {"samples": n_done,
+                           "eq_classes": eq.num_classes})
+
 
 if __name__ == "__main__":
     main()
