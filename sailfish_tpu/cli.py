@@ -271,6 +271,22 @@ def _main_quant(args, argv) -> int:
 
     import jax
 
+    # persistent compile cache: quant re-runs (and every subprocess in
+    # the test suite) skip minutes of kernel recompilation
+    try:
+        cache = os.environ.get(
+            "SAILFISH_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "sailfish_tpu", "jaxcache"),
+        )
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     platform = jax.default_backend()
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
     if dtype == "float64":

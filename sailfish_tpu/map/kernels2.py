@@ -481,7 +481,7 @@ def map_oriented_lanes_xla2(
                 & (steps_at[:, None] + 1 + jr < max_steps)
             )
             has = candj.any(axis=1)
-            jj = jnp.argmax(candj, axis=1)
+            jj = jnp.argmax(candj, axis=1).astype(jnp.int32)
             ni_miss = jnp.where(has, i1 + 1 + jj, i1 + 1 + S)
             ns_miss = steps_at + 1 + jnp.where(has, jj, S)
             ni = jnp.where(miss, ni_miss, ni)
