@@ -401,6 +401,8 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     use_prefetch = hasattr(mapper, "prefetch_pe")
     if paired:
         for f1, f2 in zip(opts.mates1, opts.mates2):
+            f1 = _materialize_stream(f1)
+            f2 = _materialize_stream(f2)
             ml = max(_probe_max_len(f1), _probe_max_len(f2))
             pf = None  # (prefetched-device-batch, observe_args)
             for b1, b2 in iter_paired_fastq_batches(
@@ -433,6 +435,7 @@ def run_quant(opts: QuantOpts, backend: str = "device",
                 pending = (token, pf[1])
     else:
         for f in opts.unmated_reads:
+            f = _materialize_stream(f)
             for b in iter_fastq_batches(
                 f, opts.batch_size, max_len=_probe_max_len(f), shard=shard
             ):
@@ -645,6 +648,29 @@ def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
         "em_seconds": t_em,
         "total_seconds": time.time() - t_start,
     }
+
+
+def _materialize_stream(path: str) -> str:
+    """Named pipes / process substitution (the reference accepts these,
+    include/ReadLibrary.hpp:182-187) cannot be probed-then-reopened or
+    restarted for a dynamic re-pad; spool such inputs to a temp file
+    once so the normal multi-pass machinery applies unchanged."""
+    import shutil
+    import stat as _stat
+    import tempfile
+
+    try:
+        mode = os.stat(path).st_mode
+    except OSError:
+        return path
+    if not (_stat.S_ISFIFO(mode) or _stat.S_ISCHR(mode)):
+        return path
+    fd, spool = tempfile.mkstemp(prefix="sailfish_stream_",
+                                 suffix=".fastq")
+    log.info("spooling non-seekable input %s to %s", path, spool)
+    with open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+        shutil.copyfileobj(src, dst, 1 << 20)
+    return spool
 
 
 def _probe_max_len(path: str, probe_reads: int = 1024) -> int:

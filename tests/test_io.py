@@ -5,6 +5,7 @@ errors out, src/SailfishQuantify.cpp:893-899; we must never silently
 truncate or silently stop early)."""
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -208,3 +209,33 @@ def test_python_fallback_skip(tmp_path):
     assert blocks[0][0] == seqs[90]
     b = _encode_block(blocks[0], 24)
     assert (np.asarray(b.lens) == 24).all()
+
+
+def test_fifo_input_quant(tmp_path):
+    """Named-pipe inputs (reference include/ReadLibrary.hpp:182-187):
+    quant spools non-seekable streams and produces identical results."""
+    import subprocess
+    import threading
+
+    from sailfish_tpu.quant import _materialize_stream
+
+    rng = np.random.default_rng(11)
+    seqs = [mkseq(rng, 40) for _ in range(64)]
+    reg = write_fastq(tmp_path / "reg.fq", seqs)
+    fifo = str(tmp_path / "stream.fq")
+    os.mkfifo(fifo)
+
+    def feed():
+        with open(reg, "rb") as src, open(fifo, "wb") as dst:
+            dst.write(src.read())
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    spooled = _materialize_stream(fifo)
+    t.join(10)
+    assert spooled != fifo
+    with open(spooled, "rb") as fh_a, open(reg, "rb") as fh_b:
+        assert fh_a.read() == fh_b.read()
+    os.unlink(spooled)
+    # regular files pass through untouched
+    assert _materialize_stream(str(reg)) == str(reg)
