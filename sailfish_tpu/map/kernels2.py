@@ -9,18 +9,24 @@ per-lane sequencing:
   * element gathers run ~95M/s on a v5e and 131k-row sorts are ~free,
     while the Pallas kernel's per-lane scalar sequencing costs ~5us per
     active lane — so this formulation has NO per-lane control flow
-  * k-mer PRESENCE for every (lane, position) is precomputed in one
-    vectorized pass (one single-word Bloom gather per position); the
-    per-position miss sweep of the sequential scan then collapses into
-    arithmetic ("next present position >= p" via a reverse cummin).
-    A filter-negative PROVES the k-mer absent from the table, so a
-    swept position behaves exactly like a probed miss (1 step, no hit,
-    no overflow) — identical semantics, zero HBM traffic
-  * the scan runs as a static schedule of ROUNDS: each round advances
-    every active lane to its next present position, hash-probes there
-    (bucket-row gathers + vectorized 4-entry resolve), expands
-    candidates, computes packed-word LCPs (16 bases per gathered u32),
-    and advances by the nip/jump rule
+  * the scan runs as a static schedule of ROUNDS over active-compacted
+    lanes; each round hash-probes, expands candidates, computes
+    packed-word LCPs (16 bases per u32), and advances by the nip/jump
+    rule.  A filter-negative in the k-mer table's Bloom filter PROVES
+    the k-mer absent, so a swept position behaves exactly like a
+    probed miss (1 step, no hit, no overflow) — identical semantics,
+    no table traffic
+  * two sweep strategies: `sweep_win=0` precomputes presence for every
+    (lane, position) up front (one Bloom gather each; "next present
+    position >= p" via a reverse cummin); `sweep_win=N` (preferred)
+    probes the lane's CURRENT position directly — a clean lane maps
+    without touching the filter — and only the miss path gathers an
+    N-position presence window.  Windowed mode also chains the hash
+    probe: ONE bucket fetch per round with the probe cursor carried in
+    lane state (the table's worst-case chain is ~8 buckets; ~95% of
+    present keys resolve in their home bucket), and fetches candidate
+    text/metadata through fused rows (ht_fused, pos_meta) and
+    funnel-shifted contiguous aligned-word slices (txt_align)
   * between rounds active lanes COMPACT to the front (one stable sort)
     and the next round runs at a statically smaller width — most lanes
     finish in 1-3 probes (an error-free read maps in ONE), so late
