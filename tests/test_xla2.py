@@ -193,3 +193,32 @@ def test_xla2_backend_matches_oracle(toy_world):
     assert dict(zip(sp.labels, map(int, sp.label_counts))) == \
         dict(zip(sr.labels, map(int, sr.label_counts)))
     np.testing.assert_array_equal(sp.mapped, sr.mapped)
+
+
+def test_xla2_small_k():
+    """k=17 (key1 carries a single top base) exercises the packed-word
+    seeding edge; k<17 indexes have no k-mer hash, so the backend must
+    fall back from xla2 to the binary-search XLA kernel cleanly."""
+    rng = np.random.default_rng(21)
+    seqs = [rng.integers(0, 4, 300).astype(np.uint8) for _ in range(6)]
+    idx = build_index([f"s{i}" for i in range(6)], seqs, k=17)
+    dev = DeviceMapperBackend(idx, QuantOpts())
+    codes = np.full((48, 40), 4, np.uint8)
+    lens = np.full(48, 36, np.int32)
+    for i in range(48):
+        p = int(rng.integers(0, 260))
+        m = seqs[i % 6][p : p + 36].copy()
+        if i % 4 == 0:
+            q = int(rng.integers(0, 36))
+            m[q] = (m[q] + 1) % 4
+        codes[i, :36] = m
+    for sweep in (0, 8):
+        res1, res2 = _run_both(
+            dev, codes, lens, cand_cap=8, max_mmps=4, max_steps=40,
+            sweep_win=sweep, fused=(sweep > 0),
+        )
+        _assert_equal(res1, res2)
+    # no hash table at k=15: xla2 falls back to the XLA kernel
+    idx15 = build_index([f"s{i}" for i in range(6)], seqs, k=15)
+    bk = DeviceMapperBackend(idx15, QuantOpts(kernel="xla2"))
+    assert bk.opts.kernel == "xla"
