@@ -90,41 +90,55 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int,
 
     h = (mix_hash_u32(g0, g1) & mask).astype(np.int64)
     slot_of_group = np.full(G, -1, dtype=np.int64)   # flat slot = b*BUCKET+j
-    fill = np.zeros(S, dtype=np.int64)               # entries used per bucket
-    todo = np.arange(G)
-    idx = h.copy()
-    attempts = 0
-    # stable order-by-bucket via ONE value sort of a composite key
-    # (bucket << id_bits | id): a quicksort over int64 values is ~5x
-    # faster than a stable argsort at GENCODE-scale G, and hands back
-    # both the order and the gathered bucket ids
-    id_bits = max(int(np.int64(max(G, 2) - 1)).bit_length(), 1)
-    id_mask = np.int64((1 << id_bits) - 1)
-    while len(todo):
-        attempts += 1
-        if attempts > 4096:
-            raise RuntimeError("k-mer hash insertion did not converge")
-        comb = np.sort(
-            (idx[todo] << np.int64(id_bits))
-            | np.arange(len(todo), dtype=np.int64)
-        )
-        cand = todo[(comb & id_mask)]
-        tgt = comb >> np.int64(id_bits)
-        # rank of each candidate within its target bucket this round
-        pos = np.arange(len(cand))
-        first = np.ones(len(cand), dtype=bool)
-        first[1:] = tgt[1:] != tgt[:-1]
-        grp = np.cumsum(first) - 1
-        rank = pos - pos[first][grp]
-        slot_j = fill[tgt] + rank
-        ok = slot_j < BUCKET
-        placed = cand[ok]
-        slot_of_group[placed] = tgt[ok] * BUCKET + slot_j[ok]
-        np.add.at(fill, tgt[ok], 1)
-        remaining = cand[~ok]
-        idx[remaining] = (idx[remaining] + 1) & int(mask)
-        todo = remaining
-    max_probes = attempts
+    # linear-probe insertion as ONE vectorized cascade: in home order
+    # (stable), each group takes the first free slot >= BUCKET*home —
+    # a running-max recurrence t_g = max(t_{g-1}+1, BUCKET*h_g) =
+    # g + cummax(BUCKET*h_g - g).  Any probe path from a group's home
+    # to its landing bucket crosses only full buckets (slots between a
+    # group's home start and its landing slot are all taken by
+    # construction; gaps only open at strictly later stream positions
+    # with strictly later homes), so lookups that stop at an empty
+    # slot or at max_probes stay exact.  This replaces an iterative
+    # rounds loop that re-sorted the pending set ~7 times.
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    g_idx = np.arange(G, dtype=np.int64)
+    t = g_idx + np.maximum.accumulate(BUCKET * hs - g_idx)
+    inb = t < BUCKET * S
+    slot_of_group[order[inb]] = t[inb]
+    leftover = order[~inb]
+    if len(leftover):
+        # the cascade ran past the table end: those few groups wrap to
+        # bucket 0 and continue with the iterative insertion
+        fill = np.bincount(t[inb] // BUCKET, minlength=S).astype(np.int64)
+        todo = leftover
+        idx = np.zeros(G, dtype=np.int64)
+        rounds = 0
+        while len(todo):
+            rounds += 1
+            if rounds > 4096:
+                raise RuntimeError("k-mer hash insertion did not converge")
+            tgt = idx[todo]
+            osort = np.argsort(tgt, kind="stable")
+            cand = todo[osort]
+            tgt = tgt[osort]
+            pos = np.arange(len(cand))
+            first = np.ones(len(cand), dtype=bool)
+            first[1:] = tgt[1:] != tgt[:-1]
+            grp = np.cumsum(first) - 1
+            rank = pos - pos[first][grp]
+            slot_j = fill[tgt] + rank
+            ok = slot_j < BUCKET
+            placed = cand[ok]
+            slot_of_group[placed] = tgt[ok] * BUCKET + slot_j[ok]
+            np.add.at(fill, tgt[ok], 1)
+            remaining = cand[~ok]
+            idx[remaining] = (idx[remaining] + 1) & int(mask)
+            todo = remaining
+    # exact probe distance per key (modular covers the wrapped ones)
+    max_probes = int(
+        (((slot_of_group // BUCKET) - h) % S).max() + 1
+    ) if G else 1
 
     ht_key0 = np.zeros(S * BUCKET, dtype=np.uint32)
     ht_key1 = np.zeros(S * BUCKET, dtype=np.uint32)

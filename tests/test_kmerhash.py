@@ -138,3 +138,64 @@ def test_kmer_bloom_single_word_no_false_negatives(toy_world):
             & (v >> ((h2 >> np.uint32(5)) & np.uint32(31))))
            & np.uint32(1)) == 1
     assert hit.mean() < 0.35
+
+
+def test_insertion_cascade_lookup_property():
+    """The vectorized cascade must keep the linear-probe lookup
+    contract on any layout: every inserted key findable within
+    max_probes starting at its home bucket, stopping early only at a
+    bucket with an empty slot; absent keys provably absent.  Tiny
+    tables (min_bits=2) force the wraparound continuation."""
+    from sailfish_tpu.index.kmerhash import (
+        BUCKET, build_kmer_table, mix_hash_u32,
+    )
+    from sailfish_tpu import dna
+
+    rng = np.random.default_rng(3)
+    for trial, (nbases, min_bits) in enumerate(
+        [(60, 2), (120, 2), (400, 3), (5000, 0), (20000, 0)]
+    ):
+        codes = rng.integers(0, 4, nbases).astype(np.uint8)
+        p16 = dna.pack_words_u32(codes, sub=0)
+        order = np.argsort(
+            [bytes(codes[i:]) for i in range(nbases)], kind="stable"
+        )
+        sa = np.asarray(order, np.int32)
+        k = 21
+        ht = build_kmer_table(p16, sa, k, min_bits=min_bits)
+        S = ht["ht_key0"].shape[0]
+        key0 = p16[sa]
+        pad = np.zeros(32, np.uint32)
+        key1 = np.concatenate([p16, pad])[sa + 16] >> np.uint32(
+            2 * (32 - k))
+        # oracle: first SA row per distinct (key0, key1)
+        seen = {}
+        for i in range(len(sa)):
+            kk = (int(key0[i]), int(key1[i]))
+            seen.setdefault(kk, i)
+
+        def lookup(a, b):
+            h = int(mix_hash_u32(np.uint32(a), np.uint32(b))) & (S - 1)
+            for _ in range(ht["max_probes"]):
+                row_cnt = ht["ht_cnt"][h]
+                for j in range(BUCKET):
+                    if row_cnt[j] > 0 and ht["ht_key0"][h, j] == a \
+                            and ht["ht_key1"][h, j] == b:
+                        return int(ht["ht_lo"][h, j]), int(row_cnt[j])
+                if (row_cnt == 0).any():
+                    return None
+                h = (h + 1) & (S - 1)
+            return None
+
+        for (a, b), lo in seen.items():
+            got = lookup(a, b)
+            assert got is not None, (trial, a, b)
+            assert got[0] == lo
+        # absent keys: flip bits of present ones
+        miss = 0
+        for (a, b) in list(seen)[:50]:
+            a2 = a ^ 0x5
+            if (a2, b) not in seen:
+                assert lookup(a2, b) is None
+                miss += 1
+        assert miss > 0
