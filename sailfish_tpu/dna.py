@@ -132,14 +132,37 @@ def pack_words_u32(
     ordering the suffix array in index/builder.py is built with.
     """
     assert bases_per_word * 2 <= 32
-    c = np.asarray(codes, dtype=np.uint64)
-    c = np.where(c >= 4, sub, c)  # SEP substituted (A for ordering; the
-    # index also stores a second packing with sub=1 (C) so SEP can be
-    # distinguished from real bases by comparing both — see map/encode.py
-    n = len(c)
-    padded = np.zeros(n + bases_per_word, dtype=np.uint64)
-    padded[:n] = c
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(bases_per_word):
-        out |= padded[j : j + n] << np.uint64(2 * (bases_per_word - 1 - j))
-    return out.astype(np.uint32)
+    n = len(codes)
+    if bases_per_word != 16:
+        c = np.asarray(codes, dtype=np.uint64)
+        c = np.where(c >= 4, sub, c)
+        padded = np.zeros(n + bases_per_word, dtype=np.uint64)
+        padded[:n] = c
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(bases_per_word):
+            out |= padded[j : j + n] << np.uint64(
+                2 * (bases_per_word - 1 - j))
+        return out.astype(np.uint32)
+    # 16-base fast path: pack ALIGNED words with byte-wide folds (MSB
+    # first), then derive every sliding word with one funnel shift per
+    # residue — ~10x less memory traffic than 16 shifted u64 passes
+    m = -(-n // 16) + 2                 # aligned words incl. zero pad
+    b2 = np.zeros(m * 16, np.uint8)
+    cc = np.asarray(codes, np.uint8)
+    b2[:n] = np.where(cc >= 4, np.uint8(sub), cc)
+    t = (b2[0::2] << 2) | b2[1::2]      # 2 bases/byte, first base high
+    t = (t[0::2] << 4) | t[1::2]        # 4 bases/byte
+    al = np.ascontiguousarray(t).view("<u4").byteswap()  # MSB-first u32
+    out = np.empty(n, dtype=np.uint32)
+    for r in range(16):
+        seg = out[r::16]
+        k = len(seg)
+        if r == 0:
+            seg[:] = al[:k]
+        else:
+            np.bitwise_or(
+                al[:k] << np.uint32(2 * r),
+                al[1 : k + 1] >> np.uint32(32 - 2 * r),
+                out=seg,
+            )
+    return out
