@@ -75,7 +75,10 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int,
     new = np.ones(n, dtype=bool)
     new[1:] = (key0[1:] != key0[:-1]) | (key1[1:] != key1[:-1])
     lo = np.nonzero(new)[0].astype(np.int64)
-    cnt = np.diff(np.append(lo, n)).astype(np.int64)
+    cnt = np.empty(len(lo), np.int64)
+    if len(lo):
+        np.subtract(lo[1:], lo[:-1], out=cnt[:-1])
+        cnt[-1] = n - lo[-1]
     g0 = key0[lo]
     g1 = key1[lo]
     G = len(lo)
@@ -100,8 +103,15 @@ def build_kmer_table(packed16: np.ndarray, sa: np.ndarray, k: int,
     # with strictly later homes), so lookups that stop at an empty
     # slot or at max_probes stay exact.  This replaces an iterative
     # rounds loop that re-sorted the pending set ~7 times.
-    order = np.argsort(h, kind="stable")
-    hs = h[order]
+    # stable order-by-home via ONE value sort of a composite key
+    # (home << id_bits | id): quicksort over int64 values beats a
+    # stable argsort ~2x at GENCODE-scale G
+    id_bits = max(int(np.int64(max(G, 2) - 1)).bit_length(), 1)
+    comb = np.sort(
+        (h << np.int64(id_bits)) | np.arange(G, dtype=np.int64)
+    )
+    order = comb & np.int64((1 << id_bits) - 1)
+    hs = comb >> np.int64(id_bits)
     g_idx = np.arange(G, dtype=np.int64)
     t = g_idx + np.maximum.accumulate(BUCKET * hs - g_idx)
     inb = t < BUCKET * S
