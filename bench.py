@@ -32,7 +32,13 @@ NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", 12))
 ERR_RATE = float(os.environ.get("BENCH_ERR", 0.005))
 CAP = int(os.environ.get("BENCH_CAP", 32))
 SHRINK = int(os.environ.get("BENCH_SHRINK", 2))
-KERNEL = os.environ.get("BENCH_KERNEL", "xla2")
+# Hardware race (2026-08-18, v5e): pallas 724ms/mate-call vs xla2
+# sweep=8 8,260ms — the round-compacted XLA scan loses ~11x on real
+# hardware (its miss path sweeps wrong-orientation lanes through the
+# Bloom filter in 9-position windows and spills into the small-width
+# exactness tail; the pallas kernel kills those lanes with the VMEM
+# 16-mer screen before they sweep).  pallas is the production default.
+KERNEL = os.environ.get("BENCH_KERNEL", "pallas")
 SWEEP = int(os.environ.get("BENCH_SWEEP", 8))   # xla2: >0 windowed sweep
 
 

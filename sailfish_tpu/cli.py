@@ -112,11 +112,12 @@ def _add_quant_parser(sub):
                    "per-shard half of a multi-host run)")
     # TPU-specific
     p.add_argument("--backend", choices=["device", "refimpl"], default="device")
-    p.add_argument("--kernel", choices=["xla", "xla2", "pallas"],
-                   default="xla",
-                   help="device mapping kernel: xla (portable), xla2 "
-                   "(round-compacted vectorized scan) or pallas "
-                   "(TPU hardware path; reads <= 128bp)")
+    p.add_argument("--kernel", choices=["auto", "xla", "xla2", "pallas"],
+                   default="auto",
+                   help="device mapping kernel: auto (pallas on a TPU "
+                   "backend with reads <= 128bp, xla otherwise), xla "
+                   "(portable), xla2 (round-compacted vectorized scan) "
+                   "or pallas (TPU hardware path; reads <= 128bp)")
     p.add_argument("--batchSize", type=int, default=65536)
     p.add_argument("--dtype", choices=["float32", "float64"], default="")
     p.add_argument("--hitCapacity", type=int, default=64,

@@ -90,10 +90,14 @@ class QuantOpts:
                                    # (map/kernels.py), "xla2"
                                    # (map/kernels2.py — round-compacted
                                    # vectorized scan with a Bloom
-                                   # presence sweep) or "pallas"
+                                   # presence sweep), "pallas"
                                    # (map/pallas_kernel.py — per-lane
                                    # dynamic loops + DMA-pipelined
-                                   # candidate windows; reads <= 128bp)
+                                   # candidate windows; reads <= 128bp;
+                                   # ~11x faster than xla2 on a v5e), or
+                                   # "auto" (run_quant resolves: pallas
+                                   # on a TPU backend with probed reads
+                                   # <= 128bp, else xla)
     xla2_sweep_win: int = 0        # kernel="xla2" sweep strategy: 0 ->
                                    # precompute Bloom presence for every
                                    # (lane, position) up front; >0 ->

@@ -636,6 +636,22 @@ class DeviceMapperBackend:
             "L": (c1.shape[1], c2.shape[1]),
         }
 
+    def _check_kernel_width(self, Lmax: int):
+        """The pallas kernel handles reads <= WINR (128) bases; a
+        dynamic re-pad (io/fastq re-decodes when a longer read appears)
+        can grow the batch width past that mid-run.  Swap to the XLA
+        kernel permanently (re-pads only grow) and drop the traced
+        steps — stale entries closed over the pallas text layout."""
+        if self.opts.kernel == "pallas" and Lmax > 128:
+            import logging
+
+            logging.getLogger("sailfish_tpu").warning(
+                "batch width %d exceeds the pallas kernel's 128bp "
+                "limit; switching to the XLA kernel", Lmax,
+            )
+            self.opts = dataclasses.replace(self.opts, kernel="xla")
+            self._pe_steps = {}
+
     def submit_pe(self, b1, b2=None, expected: LibraryFormat = None):
         if isinstance(b1, dict) and "dev" in b1:  # prefetched
             pf = b1
@@ -657,6 +673,7 @@ class DeviceMapperBackend:
             p1, n1, l1 = jnp.asarray(pw1), jnp.asarray(nm1), jnp.asarray(pl1)
             p2, n2, l2 = jnp.asarray(pw2), jnp.asarray(nm2), jnp.asarray(pl2)
             ctx = (b1, b2, expected)
+        self._check_kernel_width(max(L1, L2))
         res = self._pe_step(expected, ul1, ul2, L1, L2)(
             self._text_arg(), self._bias_text_arg(),
             p1, n1, l1, p2, n2, l2
@@ -680,6 +697,7 @@ class DeviceMapperBackend:
     def submit_se(self, b, expected: LibraryFormat):
         n = b.count
         c1, l1 = self._pad_batch(b.codes, b.lens)
+        self._check_kernel_width(c1.shape[1])
         pw1, nm1 = _pack_reads(c1)
         res = self._se_step(expected, self._uniform_len(l1),
                             c1.shape[1])(

@@ -315,6 +315,32 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             t_map=0.0, t_index=t_index,
         )
 
+    if opts.kernel == "auto":
+        # resolve the mapping kernel for the actual backend + inputs:
+        # the pallas hardware path wins ~11x over the XLA kernels on a
+        # real TPU (2026-08-18 v5e race: 724ms vs 8,260ms per mate-call)
+        # but handles reads <= 128bp only; everything else takes the
+        # portable XLA kernel.  Streams are spooled here so the probe
+        # doesn't consume them (the mapping loop re-materializes the
+        # same paths as a no-op).
+        import jax
+
+        kern = "xla"
+        if backend == "device" and jax.default_backend() == "tpu" \
+                and not getattr(index, "big_sa", False):
+            if paired:
+                opts.mates1 = [_materialize_stream(f) for f in opts.mates1]
+                opts.mates2 = [_materialize_stream(f) for f in opts.mates2]
+                files = list(opts.mates1) + list(opts.mates2)
+            else:
+                opts.unmated_reads = [
+                    _materialize_stream(f) for f in opts.unmated_reads
+                ]
+                files = list(opts.unmated_reads)
+            if max(_probe_max_len(f) for f in files) <= 128:
+                kern = "pallas"
+        opts = dataclasses.replace(opts, kernel=kern)
+        log.info("kernel auto -> %s", kern)
     mapper = make_backend(index, opts, backend)
     # device backend: reduced-stats fast path, eq classes keyed by the
     # 64-bit label hash with labels fetched once per distinct class

@@ -89,3 +89,16 @@ def test_ignore_and_enforce_compat(sample_data, sample_index, tmp_path):
                   lib_type="MSF", enforce_lib_compat=True),
             backend="device",
         )
+
+
+def test_kernel_auto_quant(sample_data, sample_index, tmp_path):
+    """kernel="auto" resolves per backend/inputs (XLA kernel on this
+    CPU test platform) and quantifies identically to an explicit
+    kernel choice."""
+    _, index_dir = sample_index
+    res_a = run_quant(_opts(index_dir, str(tmp_path / "a"), sample_data,
+                            kernel="auto"))
+    res_x = run_quant(_opts(index_dir, str(tmp_path / "x"), sample_data,
+                            kernel="xla"))
+    assert res_a["num_mapped"] == res_x["num_mapped"]
+    np.testing.assert_array_equal(res_a["alphas"], res_x["alphas"])

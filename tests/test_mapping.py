@@ -259,3 +259,22 @@ def test_strict_intersect_orphan_recovery(toy_world):
             assert all(1 in lbl and 4 in lbl for lbl in br.labels)
         else:
             assert not br.mapped.any()
+
+
+def test_pallas_width_guard_swaps_to_xla(toy_world):
+    """A batch wider than the pallas kernel's 128bp window must swap
+    the backend to the XLA kernel (dynamic re-pad can grow the width
+    mid-run) and produce the same hit sets as an xla-only backend."""
+    exp = parse_library_format("IU")
+    r1, r2, _ = toy_world["sim"](64, err_rate=0.2, seed=9)
+    b1, b2 = to_batch(r1, max_len=136), to_batch(r2, max_len=136)
+
+    pal = DeviceMapperBackend(toy_world["idx"], QuantOpts(
+        batch_size=64, kernel="pallas"))
+    xla = DeviceMapperBackend(toy_world["idx"], QuantOpts(
+        batch_size=64, kernel="xla"))
+    bp = pal.map_pe_batch(b1, b2, exp)
+    assert pal.opts.kernel == "xla"  # guard fired before tracing
+    bx = xla.map_pe_batch(b1, b2, exp)
+    assert as_dict(bp) == as_dict(bx)
+    assert np.array_equal(bp.mapped, bx.mapped)
