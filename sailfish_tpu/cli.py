@@ -124,12 +124,14 @@ def _add_quant_parser(sub):
                    help="static per-orientation candidate capacity of the "
                    "device kernels; reads above it are dropped like "
                    "--maxReadOcc (unless --hitCapacityMax escalates them)")
-    p.add_argument("--hitCapacityMax", type=int, default=0,
+    p.add_argument("--hitCapacityMax", type=int, default=256,
                    help="escalation capacity: fragments whose candidate "
                    "set overflows --hitCapacity are re-mapped through a "
                    "wide-capacity second pass (XLA kernel) at this "
-                   "capacity; set >= --maxReadOcc to honor the full "
-                   "reference envelope on repetitive references (0 = off)")
+                   "capacity (0 = off).  The default (256 >= the "
+                   "--maxReadOcc 200 envelope) honors the full reference "
+                   "behavior on repetitive references; sharded indexes "
+                   "disable escalation with a warning")
     p.add_argument("--xla2SweepWin", type=int, default=0,
                    help="kernel=xla2 sweep strategy: 0 = precompute Bloom "
                    "presence for all positions; N>0 = on-demand windowed "

@@ -47,10 +47,16 @@ class ShardedMapperBackend(DeviceMapperBackend):
                 "one device; it is not available with a sharded index"
             )
         if opts.hit_capacity_max > opts.hit_capacity:
-            raise ValueError(
+            # escalation needs a monolithic re-map pass over the whole
+            # text; overflow fragments on a sharded index are dropped
+            # like --maxReadOcc discards instead (loud, not silent)
+            log.warning(
                 "--hitCapacityMax escalation is not available with a "
-                "sharded index (requires a monolithic re-map pass)"
+                "sharded index; fragments overflowing --hitCapacity %d "
+                "will be dropped like --maxReadOcc discards",
+                opts.hit_capacity,
             )
+            opts = dataclasses.replace(opts, hit_capacity_max=0)
         if opts.kernel == "pallas":
             log.info("sharded index: using the XLA kernel "
                      "(the pallas scan is single-device)")
