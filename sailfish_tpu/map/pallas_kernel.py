@@ -261,10 +261,12 @@ def _scan_kernel(
                 c = step1(c)
             return c
 
-        i, steps, h1, _ = jax.lax.while_loop(
-            cond, body,
-            (st_s[lane, 0], st_s[lane, 2], I32(0), I32(0)),
-        )
+        # peel one position: the common case (current position's k-mer
+        # is filter-present) stops immediately, and the peel makes that
+        # cost ONE filter test instead of `unroll` idempotent re-tests
+        # inside the first loop body
+        c0 = step1((st_s[lane, 0], st_s[lane, 2], I32(0), I32(0)))
+        i, steps, h1, _ = jax.lax.while_loop(cond, body, c0)
         ok = (i + k <= ln) & (steps < max_steps)
         st_s[lane, 0] = i
         st_s[lane, 2] = steps
@@ -782,6 +784,7 @@ def map_oriented_lanes_pallas(
         w16_bits = text_pallas.get("w16_bits", 0)
     if os.environ.get("SF_LANE_SCREEN", "1") == "0":
         w16_bits = 0
+    compact_lanes = os.environ.get("SF_LANE_COMPACT", "1") == "1"
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
@@ -797,6 +800,7 @@ def map_oriented_lanes_pallas(
                    else text_pallas["filt_bits"]),
         filt_access=filt_access,
         w16_bits=w16_bits,
+        compact_lanes=compact_lanes,
     )
 
 
@@ -805,7 +809,7 @@ def map_oriented_lanes_pallas(
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "skip_jump",
                      "phases", "postpass", "uniform_len", "filt_bits",
-                     "filt_access", "w16_bits"),
+                     "filt_access", "w16_bits", "compact_lanes"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
@@ -825,6 +829,7 @@ def _map_lanes_pallas_jit(
     filt_bits: int = 0,
     filt_access: str = "scalar",
     w16_bits: int = 0,
+    compact_lanes: bool = True,
 ):
     from .kernels import NEG
 
@@ -896,6 +901,24 @@ def _map_lanes_pallas_jit(
         keep = jnp.any(present & valid, axis=1)
         klens = jnp.where(keep, olens, 0)
 
+    # ---- lane compaction ----
+    # The screen kills ~half of all lanes (the wrong orientation), but
+    # they are INTERLEAVED with live ones, so nearly every LB-lane
+    # kernel block still iterates with only ~half its DMA slots doing
+    # work.  Sorting live lanes to the front (a) packs blocks full, so
+    # each probe/candidate DMA round amortizes its HBM latency over LB
+    # live lanes instead of ~LB/2, and (b) turns the tail of the grid
+    # into all-dead blocks that exit at the outer while immediately.
+    # Pure XLA row shuffles outside the kernel; outputs are un-permuted
+    # after the post-pass (which is per-lane independent).
+    order = inv = None
+    if compact_lanes and w16_bits > 0:
+        order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
+        inv = jnp.argsort(order)
+        codes_pad = codes_pad[order]
+        pw_i32 = pw_i32[order]
+        klens = klens[order]
+
     gtxp, gpin, vld, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, klens,
         text_rows, sa_rows, ht_rows, filt_rows,
@@ -944,7 +967,7 @@ def _map_lanes_pallas_jit(
     )
     s_vld = s_vld & first
 
-    return {
+    out = {
         "txp": s_txp,
         "pos": s_pos,
         "valid": s_vld,
@@ -952,6 +975,9 @@ def _map_lanes_pallas_jit(
         "overflow": overflow,
         "num_mapped_loci": s_vld.sum(axis=1),
     }
+    if inv is not None:
+        out = {kk: v[inv] for kk, v in out.items()}
+    return out
 
 
 def prepare_pallas_text(index, cand_cap: int) -> dict:
