@@ -151,10 +151,14 @@ def _scan_kernel(
     poal_s,      # (LB, 256) i32 scratch (per-candidate in-txp positions)
     canda_s,     # (C*16, 128) i32 scratch (candidate fused tiles, bank A)
     candb_s,     # (C*16, 128) i32 scratch (candidate fused tiles, bank B)
+    candc_s,     # bank C
+    candd_s,     # bank D
     pair_s,      # (1, 256) i32 scratch (row-pair staging)
     ala_s,       # (C, WINW) i32 scratch (read-aligned text, bank A)
     alb_s,       # (C, WINW) i32 scratch (read-aligned text, bank B)
-    sem_h, sem_sa, sem_ca, sem_cb,
+    alc_s,       # bank C
+    ald_s,       # bank D
+    sem_h, sem_sa, sem_ca, sem_cb, sem_cc, sem_cd,
     st_s,        # (LB, 8) i32 SMEM scratch — per-lane scan state:
                  # [i, nm, steps, h, lo, cnt, probe_done, att]
     *,
@@ -302,93 +306,181 @@ def _scan_kernel(
         """Resolve one hash-row fetch.  Outcomes:
           * found       -> record (lo, cnt), consume the position's step,
                           probe_done
-          * collision   -> bump h, re-probe the SAME position (no step)
+          * collision   -> bump h and retry IN the already-fetched tile
+                          (an 8-row tile holds 64 consecutive buckets, so
+                          the h+1 bucket is resident 63/64 of the time —
+                          one straight-line second attempt resolves most
+                          2-long probe chains without another DMA round);
+                          only a chain that walks off the tile re-enters
+                          the pbody loop
           * miss        -> a filter false positive (or probe-chain
                           exhaustion): consume the step, advance, and
-                          filter-sweep to the next candidate position —
-                          the next pbody iteration re-probes there.
+                          MARK the lane (st[5] = -1) — the pbody caller
+                          runs the filter fast-forward for marked lanes
+                          in a separate pass (keeping ffwd at two inline
+                          sites bounds Mosaic compile time).
         A probe chain that exhausts ht_probes attempts counts as a miss
         (the oracle's empty exact-k interval)."""
         i = st_s[lane, 0]
         key0 = pw_ref[lane, i]
         key1 = _lsr32(pw_ref[lane, i + 16], 2 * (32 - k))
         h = st_s[lane, 3]
-        row = h >> 3
-        aligned = (row >> 3) << 3
         pltpu.make_async_copy(
-            ht_ref.at[pl.ds(aligned, 8), :],
+            ht_ref.at[pl.ds(((h >> 6) << 3), 8), :],
             htrow_s.at[pl.ds(lane * 8, 8), :],
             sem_h.at[lane],
         ).wait()
-        r8 = pltpu.roll(htrow_s[lane * 8 : lane * 8 + 8, :],
-                        8 - (row & 7), 0)
-        rolled = pltpu.roll(r8[0:1, :], 128 - (h & 7) * 16, 1)
-        # vectorized bucket resolve: the four entries compare as (1,4)
-        # vector ops and reduce to four scalars, instead of sixteen
-        # lane-extract reads + scalar chains (table keys are unique, so
-        # at most one entry can match)
-        key0v = rolled[0:1, 0:4]
-        key1v = rolled[0:1, 4:8]
-        lov = rolled[0:1, 8:12]
-        cntv = rolled[0:1, 12:16]
-        match = (cntv > 0) & (key0v == key0) & (key1v == key1)
-        found = jnp.max(match.astype(jnp.int32)) == I32(1)
-        flo = jnp.max(jnp.where(match, lov, I32(-(2**31))))
-        flo = jnp.where(found, flo, I32(0))
-        fcnt = jnp.max(jnp.where(match, cntv, I32(0)))
-        has_empty = jnp.min(cntv) == I32(0)
-        att = st_s[lane, 7]
-        exhausted = ~found & ~has_empty & (att + 1 >= ht_probes)
-        miss = (has_empty & ~found) | exhausted
 
-        @pl.when(found)
-        def _():
+        def attempt(hh):
+            """One bucket compare against the resident tile (valid only
+            while hh >> 6 == h >> 6).  The four entries compare as (1,4)
+            vector ops and reduce to four scalars (table keys are
+            unique, so at most one entry can match)."""
+            row = hh >> 3
+            r8 = pltpu.roll(htrow_s[lane * 8 : lane * 8 + 8, :],
+                            8 - (row & 7), 0)
+            rolled = pltpu.roll(r8[0:1, :], 128 - (hh & 7) * 16, 1)
+            key0v = rolled[0:1, 0:4]
+            key1v = rolled[0:1, 4:8]
+            lov = rolled[0:1, 8:12]
+            cntv = rolled[0:1, 12:16]
+            match = (cntv > 0) & (key0v == key0) & (key1v == key1)
+            found = jnp.max(match.astype(jnp.int32)) == I32(1)
+            flo = jnp.max(jnp.where(match, lov, I32(-(2**31))))
+            flo = jnp.where(found, flo, I32(0))
+            fcnt = jnp.max(jnp.where(match, cntv, I32(0)))
+            has_empty = jnp.min(cntv) == I32(0)
+            return found, flo, fcnt, has_empty
+
+        def record_found(flo, fcnt):
             st_s[lane, 2] = st_s[lane, 2] + 1
             st_s[lane, 4] = flo
             st_s[lane, 5] = fcnt
             st_s[lane, 6] = I32(1)
 
-        @pl.when(~found & ~miss)  # collision: re-probe the same position
-        def _():
-            st_s[lane, 3] = (h + 1) & hmask
-            st_s[lane, 7] = att + 1
-
-        @pl.when(miss)
-        def _():
+        def record_miss():
             st_s[lane, 0] = i + 1
             st_s[lane, 2] = st_s[lane, 2] + 1
-            st_s[lane, 5] = I32(0)
-            ffwd_filter(lane)
+            st_s[lane, 5] = I32(-1)  # needs-ffwd marker
+            st_s[lane, 6] = I32(1)   # cleared by the caller's ffwd pass
+
+        att = st_s[lane, 7]
+        f1, lo1, c1, e1 = attempt(h)
+        ex1 = ~f1 & ~e1 & (att + 1 >= ht_probes)
+        miss1 = (e1 & ~f1) | ex1
+        coll1 = ~f1 & ~miss1
+        h2 = (h + 1) & hmask
+        in_tile = (h2 >> 6) == (h >> 6)
+
+        @pl.when(f1)
+        def _():
+            record_found(lo1, c1)
+
+        @pl.when(miss1)
+        def _():
+            record_miss()
+
+        @pl.when(coll1 & in_tile)
+        def _():
+            f2, lo2, c2, e2 = attempt(h2)
+            ex2 = ~f2 & ~e2 & (att + 2 >= ht_probes)
+            miss2 = (e2 & ~f2) | ex2
+
+            @pl.when(f2)
+            def _():
+                record_found(lo2, c2)
+
+            @pl.when(miss2)
+            def _():
+                record_miss()
+
+            @pl.when(~f2 & ~miss2)
+            def _():
+                st_s[lane, 3] = (h2 + 1) & hmask
+                st_s[lane, 7] = att + 2
+
+        @pl.when(coll1 & ~in_tile)
+        def _():
+            st_s[lane, 3] = h2
+            st_s[lane, 7] = att + 1
+
+    def _issue_one(lane, c, raw, cand_s, sem_c):
+        i = st_s[lane, 0]
+        g = jnp.clip(raw, 0, n_text - 1)
+        spos = g - i + ROW  # front SEP row keeps >= 0
+        trow = spos >> 7
+        t_al = ((3 * trow) >> 3) << 3
+        pltpu.make_async_copy(
+            text_ref.at[pl.ds(t_al, 16), :],
+            cand_s.at[pl.ds(c * 16, 16), :],
+            sem_c.at[c],
+        ).start()
 
     def issue_cands(lane, amask, cand_s, sem_c):
         act = lane_act(amask, lane)
-        i = st_s[lane, 0]
         ccnt = jnp.minimum(st_s[lane, 5], C)
-        # chunked predication: the common case is 1-2 candidates, so
-        # skip whole 8-candidate blocks of scalar work at once
+
+        # fast path: a single candidate (a unique k-mer seed, the
+        # common case) — its text position came straight from the hash
+        # bucket, and none of the block scaffolding below is needed
+        @pl.when(act & (ccnt == 1))
+        def _():
+            _issue_one(lane, 0, st_s[lane, 4], cand_s, sem_c)
+
+        # chunked predication: skip whole 8-candidate blocks of scalar
+        # work at once
         for cc in range(0, C, 8):
-            @pl.when(act & (cc < ccnt))
+            @pl.when(act & (ccnt > 1) & (cc < ccnt))
             def _():
                 for c in range(cc, min(cc + 8, C)):
                     @pl.when(c < ccnt)
                     def _():
-                        # unique k-mer: the hash bucket stored the text
-                        # position directly (no SA window was fetched)
-                        raw = (st_s[lane, 4] if c == 0 else
-                               saal_s[lane, c])
-                        if c == 0:
-                            raw = jnp.where(
-                                st_s[lane, 5] == 1, raw, saal_s[lane, 0]
-                            )
-                        g = jnp.clip(raw, 0, n_text - 1)
-                        spos = g - i + ROW  # front SEP row keeps >= 0
-                        trow = spos >> 7
-                        t_al = ((3 * trow) >> 3) << 3
-                        pltpu.make_async_copy(
-                            text_ref.at[pl.ds(t_al, 16), :],
-                            cand_s.at[pl.ds(c * 16, 16), :],
-                            sem_c.at[c],
-                        ).start()
+                        # ccnt > 1 here, so every candidate (incl. 0)
+                        # comes from the rotated SA interval
+                        _issue_one(lane, c, saal_s[lane, c],
+                                   cand_s, sem_c)
+
+    def _align_one(lane, c, raw, cand_s, al_s, sem_c):
+        i = st_s[lane, 0]
+        g = jnp.clip(raw, 0, n_text - 1)
+        spos = g - i + ROW
+        trow = spos >> 7
+        t_al = ((3 * trow) >> 3) << 3
+        off = 3 * trow - t_al
+        rot = spos & 127
+        pltpu.make_async_copy(
+            text_ref.at[pl.ds(t_al, 16), :],
+            cand_s.at[pl.ds(c * 16, 16), :],
+            sem_c.at[c],
+        ).wait()
+        # fused rows: after rolling row `off` to the
+        # front, text blocks trow/trow+1/trow+2 sit at
+        # rows 0/3/6; their identity companions at +1/+2
+        tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
+                        16 - off, 0)
+        # window[j] = raw[rot + j]; rows pair A covers
+        # j in [0,128), pair B covers [128,256)
+        pair_s[:, :ROW] = tr[0:1, :]
+        pair_s[:, ROW:] = tr[3:4, :]
+        al_s[c : c + 1, 0:ROW] = pltpu.roll(
+            pair_s[...], 256 - rot, 1
+        )[:, 0:ROW]
+        pair_s[:, :ROW] = tr[3:4, :]
+        pair_s[:, ROW:] = tr[6:7, :]
+        al_s[c : c + 1, ROW:WINW] = pltpu.roll(
+            pair_s[...], 256 - rot, 1
+        )[:, 0:ROW]
+        # candidate identity (txp, in-txp pos) at text
+        # position g rides the same fetch: g = window
+        # start + i, i.e. block trow2 = (spos+i)>>7
+        spos2 = spos + i
+        delta = (spos2 >> 7) - trow
+        idrows = jnp.where(
+            delta == 0, tr[1:3, :], tr[4:6, :]
+        )
+        idal = pltpu.roll(idrows, 128 - (spos2 & 127), 1)
+        txal_s[lane : lane + 1, c : c + 1] = idal[0:1, 0:1]
+        poal_s[lane : lane + 1, c : c + 1] = idal[1:2, 0:1]
 
     def process_lane(lane, amask, cand_s, al_s, sem_c):
         act = lane_act(amask, lane)
@@ -397,59 +489,57 @@ def _scan_kernel(
         ccnt = jnp.minimum(cnt, C)
         over = cnt > C
         ln = lens_ref[lane, 0]
+        one = ccnt == 1
+
+        @pl.when(act & one)
+        def _():
+            _align_one(lane, 0, st_s[lane, 4], cand_s, al_s, sem_c)
+            # narrow LCP + slot write + advance for the single-unique-
+            # seed case: one (1, WINW) compare instead of (C, WINW),
+            # and a single-column slot write (the rest of the slot keeps
+            # its zero init)
+            neq = (al_s[0:1, :] - codes_ref[lane : lane + 1, :]) != 0
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
+            colm = jnp.where(neq & (col >= i), col, jnp.int32(WINW))
+            lstar = jnp.minimum(jnp.min(colm), ln) - i
+            nm = st_s[lane, 1]
+            hit = lstar >= k
+
+            @pl.when(hit)
+            def _():
+                for m in range(M):
+                    @pl.when(nm == m)
+                    def _():
+                        gtxp_ref[lane : lane + 1, m * C : m * C + 1] = (
+                            txal_s[lane : lane + 1, 0:1]
+                        )
+                        gpin_ref[lane : lane + 1, m * C : m * C + 1] = (
+                            poal_s[lane : lane + 1, 0:1] - i
+                        )
+                        vld_ref[lane : lane + 1, m * C : m * C + 1] = (
+                            jnp.ones((1, 1), jnp.int32)
+                        )
+                meta_ref[lane, 2] = jnp.where(
+                    nm == 0, lstar, meta_ref[lane, 2]
+                )
+
+            if skip_jump:
+                hadv1 = lstar + 1
+            else:
+                hadv1 = jnp.maximum(1, lstar - k + 1)
+            st_s[lane, 0] = i + jnp.where(hit, hadv1, 1)
+            st_s[lane, 1] = nm + jnp.where(hit, 1, 0)
+
         for cc in range(0, C, 8):
-            @pl.when(act & (cc < ccnt))
+            @pl.when(act & (ccnt > 1) & (cc < ccnt))
             def _():
                 for c in range(cc, min(cc + 8, C)):
                     @pl.when(c < ccnt)
                     def _():
-                        raw = (st_s[lane, 4] if c == 0 else
-                               saal_s[lane, c])
-                        if c == 0:
-                            raw = jnp.where(
-                                st_s[lane, 5] == 1, raw, saal_s[lane, 0]
-                            )
-                        g = jnp.clip(raw, 0, n_text - 1)
-                        spos = g - i + ROW
-                        trow = spos >> 7
-                        t_al = ((3 * trow) >> 3) << 3
-                        off = 3 * trow - t_al
-                        rot = spos & 127
-                        pltpu.make_async_copy(
-                            text_ref.at[pl.ds(t_al, 16), :],
-                            cand_s.at[pl.ds(c * 16, 16), :],
-                            sem_c.at[c],
-                        ).wait()
-                        # fused rows: after rolling row `off` to the
-                        # front, text blocks trow/trow+1/trow+2 sit at
-                        # rows 0/3/6; their identity companions at +1/+2
-                        tr = pltpu.roll(cand_s[c * 16 : c * 16 + 16, :],
-                                        16 - off, 0)
-                        # window[j] = raw[rot + j]; rows pair A covers
-                        # j in [0,128), pair B covers [128,256)
-                        pair_s[:, :ROW] = tr[0:1, :]
-                        pair_s[:, ROW:] = tr[3:4, :]
-                        al_s[c : c + 1, 0:ROW] = pltpu.roll(
-                            pair_s[...], 256 - rot, 1
-                        )[:, 0:ROW]
-                        pair_s[:, :ROW] = tr[3:4, :]
-                        pair_s[:, ROW:] = tr[6:7, :]
-                        al_s[c : c + 1, ROW:WINW] = pltpu.roll(
-                            pair_s[...], 256 - rot, 1
-                        )[:, 0:ROW]
-                        # candidate identity (txp, in-txp pos) at text
-                        # position g rides the same fetch: g = window
-                        # start + i, i.e. block trow2 = (spos+i)>>7
-                        spos2 = spos + i
-                        delta = (spos2 >> 7) - trow
-                        idrows = jnp.where(
-                            delta == 0, tr[1:3, :], tr[4:6, :]
-                        )
-                        idal = pltpu.roll(idrows, 128 - (spos2 & 127), 1)
-                        txal_s[lane : lane + 1, c : c + 1] = idal[0:1, 0:1]
-                        poal_s[lane : lane + 1, c : c + 1] = idal[1:2, 0:1]
+                        _align_one(lane, c, saal_s[lane, c],
+                                   cand_s, al_s, sem_c)
 
-        @pl.when(act)
+        @pl.when(act & ~one)
         def _():
             # one vectorized LCP over all candidates: first mismatch at
             # column >= i (read padding = SEP mismatches text, so the
@@ -547,6 +637,15 @@ def _scan_kernel(
                 @pl.when(((pmask >> lane) & 1) == 1)
                 def _():
                     resolve_probe(lane)
+            # deferred miss handling: filter fast-forward the marked
+            # lanes to their next candidate position (st[6] flips back
+            # to 0 if one exists in budget, re-entering the probe loop)
+            for lane in range(LB):
+                @pl.when((((pmask >> lane) & 1) == 1)
+                         & (st_s[lane, 5] == -1))
+                def _():
+                    st_s[lane, 5] = I32(0)
+                    ffwd_filter(lane)
             nmask = I32(0)
             for lane in range(LB):
                 live = ((pmask >> lane) & 1) & (1 - st_s[lane, 6])
@@ -596,24 +695,30 @@ def _scan_kernel(
                         pair_s[...], 256 - (lo & 127), 1
                     )
 
-        # ---- Phase C: candidate windows, two banks pipelined over
-        # lanes (issue lane n's fetches while lane n-2's are processed)
+        # ---- Phase C: candidate windows, NB scratch banks pipelined
+        # over lanes (issue lane n's fetches while lane n-NB's are
+        # processed) — depth 4 so each wait sees a DMA issued ~3 lane-
+        # processings ago, fully hiding HBM latency.  Escalation passes
+        # (large C) drop to depth 2 to stay inside VMEM.
         if "c" in phases:
-            banks = (
+            all_banks = (
                 (canda_s, ala_s, sem_ca),
                 (candb_s, alb_s, sem_cb),
+                (candc_s, alc_s, sem_cc),
+                (candd_s, ald_s, sem_cd),
             )
-            issue_cands(0, amask, banks[0][0], banks[0][2])
-            if LB > 1:
-                issue_cands(1, amask, banks[1][0], banks[1][2])
-            for lane in range(2, LB):
-                b = banks[lane & 1]
-                process_lane(lane - 2, amask, b[0], b[1], b[2])
+            NB = min(4 if C <= 64 else 2, LB)
+            banks = all_banks[:NB]
+            for lane in range(min(NB, LB)):
+                b = banks[lane % NB]
                 issue_cands(lane, amask, b[0], b[2])
-            for lane in (LB - 2, LB - 1):
-                if lane >= 0:
-                    b = banks[lane & 1]
-                    process_lane(lane, amask, b[0], b[1], b[2])
+            for lane in range(NB, LB):
+                b = banks[lane % NB]
+                process_lane(lane - NB, amask, b[0], b[1], b[2])
+                issue_cands(lane, amask, b[0], b[2])
+            for lane in range(max(LB - NB, 0), LB):
+                b = banks[lane % NB]
+                process_lane(lane, amask, b[0], b[1], b[2])
         else:
             for lane in range(LB):
                 @pl.when(lane_act(amask, lane))
@@ -641,9 +746,12 @@ def _scan_kernel(
         am0 = am0 | (
             jnp.where(k <= lens_ref[lane, 0], 1, 0) << lane
         )
-    jax.lax.while_loop(ocond, obody, (I32(0), am0))
+    s_fin, _ = jax.lax.while_loop(ocond, obody, (I32(0), am0))
     for lane in range(LB):
         meta_ref[lane, 0] = st_s[lane, 1]
+        # meta slot 3: outer-step count of this lane's BLOCK (profiling;
+        # all lanes in a block share it)
+        meta_ref[lane, 3] = s_fin
 
 
 @partial(
@@ -724,13 +832,25 @@ def mmp_scan_pallas(
             pltpu.VMEM((LB, 256), jnp.int32),        # poal_s
             pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # canda_s
             pltpu.VMEM((cand_cap * 16, 128), jnp.int32),  # candb_s
+            # banks C/D exist only at pipeline depth 4 (C <= 64);
+            # escalation passes get placeholder tiles to spare VMEM
+            pltpu.VMEM(((cand_cap if cand_cap <= 64 else 1) * 16, 128),
+                       jnp.int32),                   # candc_s
+            pltpu.VMEM(((cand_cap if cand_cap <= 64 else 1) * 16, 128),
+                       jnp.int32),                   # candd_s
             pltpu.VMEM((1, 256), jnp.int32),         # pair_s
             pltpu.VMEM((cand_cap, WINW), jnp.int32),  # ala_s
             pltpu.VMEM((cand_cap, WINW), jnp.int32),  # alb_s
+            pltpu.VMEM((cand_cap if cand_cap <= 64 else 1, WINW),
+                       jnp.int32),                   # alc_s
+            pltpu.VMEM((cand_cap if cand_cap <= 64 else 1, WINW),
+                       jnp.int32),                   # ald_s
             pltpu.SemaphoreType.DMA((LB,)),          # sem_h
             pltpu.SemaphoreType.DMA((LB,)),          # sem_sa
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_ca
             pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cb
+            pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cc
+            pltpu.SemaphoreType.DMA((cand_cap,)),    # sem_cd
             pltpu.SMEM((LB, 8), jnp.int32),          # st_s
         ],
         interpret=interpret,
