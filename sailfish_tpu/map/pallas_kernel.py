@@ -418,12 +418,15 @@ def _scan_kernel(
 
     def issue_cands(lane, amask, cand_s, sem_c):
         act = lane_act(amask, lane)
-        ccnt = jnp.minimum(st_s[lane, 5], C)
+        cnt = st_s[lane, 5]
+        ccnt = jnp.minimum(cnt, C)
 
-        # fast path: a single candidate (a unique k-mer seed, the
-        # common case) — its text position came straight from the hash
-        # bucket, and none of the block scaffolding below is needed
-        @pl.when(act & (ccnt == 1))
+        # fast path: a TRUE unique seed (cnt == 1, not ccnt == 1 — with
+        # cand_cap == 1 a multi-candidate seed would alias into this
+        # branch and misread st[4], an SA offset, as a text position) —
+        # its text position came straight from the hash bucket, and
+        # none of the block scaffolding below is needed
+        @pl.when(act & (cnt == 1))
         def _():
             _issue_one(lane, 0, st_s[lane, 4], cand_s, sem_c)
 
@@ -489,7 +492,7 @@ def _scan_kernel(
         ccnt = jnp.minimum(cnt, C)
         over = cnt > C
         ln = lens_ref[lane, 0]
-        one = ccnt == 1
+        one = cnt == 1  # true unique seed (see issue_cands)
 
         @pl.when(act & one)
         def _():
@@ -497,7 +500,12 @@ def _scan_kernel(
             # narrow LCP + slot write + advance for the single-unique-
             # seed case: one (1, WINW) compare instead of (C, WINW),
             # and a single-column slot write (the rest of the slot keeps
-            # its zero init)
+            # its zero init).  NOTE: this branch intentionally mirrors
+            # the vectorized `act & ~one` branch below (hit rule, M-slot
+            # scan, skip_jump advance) minus the over/cnt>0 guards —
+            # cnt == 1 makes over and cnt == 0 impossible here.  Edits
+            # to either branch's hit/advance logic must be applied to
+            # BOTH.
             neq = (al_s[0:1, :] - codes_ref[lane : lane + 1, :]) != 0
             col = jax.lax.broadcasted_iota(jnp.int32, (1, WINW), 1)
             colm = jnp.where(neq & (col >= i), col, jnp.int32(WINW))
@@ -782,6 +790,11 @@ def mmp_scan_pallas(
     filt_bits: int = 0,
     filt_access: str = "scalar",
 ):
+    if cand_cap < 2:
+        # the kernel's branch structure assumes cnt == 1 is the only
+        # single-candidate case (see issue_cands); cand_cap == 1 would
+        # leave multi-candidate seeds with no processing branch
+        raise ValueError("mmp_scan_pallas requires cand_cap >= 2")
     B2 = codes_i32.shape[0]
     C, M = cand_cap, max_mmps
     grid = (B2 // LB,)
@@ -1032,7 +1045,11 @@ def _map_lanes_pallas_jit(
     # Pure XLA row shuffles outside the kernel; outputs are un-permuted
     # after the post-pass (which is per-lane independent).
     order = inv = None
-    if compact_lanes and w16_bits > 0:
+    # postpass=False is the scan-only debug interface: its outputs are
+    # per-input-lane arrays, so compaction (a lane permutation undone
+    # only by the post-pass) must be skipped to keep row <-> read
+    # correspondence
+    if compact_lanes and w16_bits > 0 and postpass:
         order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
         inv = jnp.argsort(order)
         codes_pad = codes_pad[order]
