@@ -56,10 +56,16 @@ def _add_index_parser(sub):
 def _add_quant_parser(sub):
     p = sub.add_parser("quant", help="quantify a sample")
     p.add_argument("-i", "--index", required=True)
-    p.add_argument("-l", "--libType", required=True)
-    p.add_argument("-1", "--mates1", nargs="+", default=[])
-    p.add_argument("-2", "--mates2", nargs="+", default=[])
-    p.add_argument("-r", "--unmatedReads", nargs="+", default=[])
+    # -l may repeat: each occurrence starts a new read library whose
+    # following -1/-2/-r groups attach to it (ordered-argv semantics of
+    # the reference extractReadLibraries, src/SailfishUtils.cpp:103-153)
+    p.add_argument("-l", "--libType", required=True, action="append")
+    p.add_argument("-1", "--mates1", nargs="+", action="append",
+                   default=[])
+    p.add_argument("-2", "--mates2", nargs="+", action="append",
+                   default=[])
+    p.add_argument("-r", "--unmatedReads", nargs="+", action="append",
+                   default=[])
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-g", "--geneMap", default="")
     p.add_argument("--txpAggregationKey", default="gene_id")
@@ -257,8 +263,76 @@ def _main_index(args) -> int:
     return 0
 
 
+def extract_read_libraries(argv: list[str]) -> list[dict]:
+    """Ordered-argv read-library extraction (the reference's
+    extractReadLibraries, src/SailfishUtils.cpp:103-153): every
+    -l/--libType occurrence starts a new library; subsequent
+    -1/-2/-r file groups attach to the most recent one."""
+    flagmap = {
+        "-l": "fmt", "--libType": "fmt",
+        "-1": "m1", "--mates1": "m1",
+        "-2": "m2", "--mates2": "m2",
+        "-r": "um", "--unmatedReads": "um",
+    }
+    libs: list[dict] = []
+    cur: dict | None = None
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        inline = None
+        if tok.startswith("--") and "=" in tok:
+            tok, inline = tok.split("=", 1)
+        key = flagmap.get(tok)
+        if key == "fmt":
+            if inline is None:
+                i += 1
+                inline = argv[i] if i < len(argv) else ""
+            cur = {"fmt": inline, "m1": [], "m2": [], "um": []}
+            libs.append(cur)
+        elif key is not None:
+            if cur is None:
+                raise ValueError(
+                    f"{tok} appears before any -l/--libType; each read "
+                    "library must start with its libType")
+            if inline is not None:
+                cur[key].append(inline)
+            else:
+                while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                    i += 1
+                    cur[key].append(argv[i])
+        i += 1
+    return libs
+
+
+def _flatten_read_args(args, argv):
+    """Normalize the append-style -l/-1/-2/-r argparse results: returns
+    (lib_type, mates1, mates2, unmated, libraries) where libraries is
+    [] for the single-library form (back-compat QuantOpts fields) and
+    the ordered per-library list otherwise."""
+    libtypes = args.libType if isinstance(args.libType, list) else [args.libType]
+    m1 = [f for grp in args.mates1 for f in grp]
+    m2 = [f for grp in args.mates2 for f in grp]
+    um = [f for grp in args.unmatedReads for f in grp]
+    if len(libtypes) <= 1:
+        return libtypes[0], m1, m2, um, []
+    libs = extract_read_libraries(argv)
+    if len(libs) != len(libtypes):
+        raise ValueError(
+            "could not associate read files with libTypes from the "
+            "argument order")
+    return libtypes[0], m1, m2, um, libs
+
+
 def _main_quant(args, argv) -> int:
     _setup_logging(args.output)
+
+    lib_type, m1, m2, um, libraries = _flatten_read_args(args, argv)
+    # launcher re-serialization + cmd_info echo see flat values
+    args.libType = lib_type if not libraries else [
+        lib["fmt"] for lib in libraries
+    ]
+    args.mates1, args.mates2, args.unmatedReads = m1, m2, um
+    args.read_libraries_ = libraries
 
     # single-command multi-host form: --numShards N without --shardId
     # launches the shard subprocesses, merges, and infers once
@@ -266,7 +340,8 @@ def _main_quant(args, argv) -> int:
         from .parallel.launcher import run_sharded_quant
 
         ordered = [("command", "quant")] + [
-            (k, v) for k, v in vars(args).items() if k != "command"
+            (k, v) for k, v in vars(args).items()
+            if k not in ("command", "read_libraries_")
         ]
         return run_sharded_quant(args, ordered)
     if args.shardId < 0:
@@ -299,10 +374,11 @@ def _main_quant(args, argv) -> int:
         index_dir=args.index,
         output_dir=args.output,
         aux_dir=args.auxDir,
-        lib_type=args.libType,
-        mates1=args.mates1,
-        mates2=args.mates2,
-        unmated_reads=args.unmatedReads,
+        lib_type=lib_type,
+        mates1=m1,
+        mates2=m2,
+        unmated_reads=um,
+        libraries=libraries,
         max_read_occs=args.maxReadOcc,
         strict_intersect=args.strictIntersect,
         allow_dovetail=args.allowDovetail,
@@ -345,7 +421,8 @@ def _main_quant(args, argv) -> int:
 
     # echo the ordered invocation like cmd_info.json (reference :1263-1277)
     ordered = [("command", "quant")] + [
-        (k, v) for k, v in vars(args).items() if k != "command"
+        (k, v) for k, v in vars(args).items()
+        if k not in ("command", "read_libraries_")
     ]
 
     from .quant import run_quant

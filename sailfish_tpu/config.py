@@ -21,6 +21,11 @@ class QuantOpts:
     mates1: list[str] = field(default_factory=list)
     mates2: list[str] = field(default_factory=list)
     unmated_reads: list[str] = field(default_factory=list)
+    # ordered multi-library runs (reference extractReadLibraries,
+    # src/SailfishUtils.cpp:103-153): each entry is a dict with keys
+    # {"fmt", "m1", "m2", "um"}.  Empty = single library synthesized
+    # from lib_type/mates1/mates2/unmated_reads above.
+    libraries: list = field(default_factory=list)
 
     # --- mapping ---
     max_read_occs: int = 200       # --maxReadOcc (:1143)
@@ -155,6 +160,19 @@ class QuantOpts:
         escalation capacity when enabled); the numpy oracle applies the
         same cap so device and oracle agree across the boundary."""
         return max(self.hit_capacity, self.hit_capacity_max)
+
+    def read_libraries(self) -> list:
+        """Normalized ordered read libraries.  Multi-library runs carry
+        them in `libraries`; otherwise one library is synthesized from
+        lib_type/mates1/mates2/unmated_reads (the single-`-l` form)."""
+        if self.libraries:
+            return [dict(lib) for lib in self.libraries]
+        return [{
+            "fmt": self.lib_type,
+            "m1": list(self.mates1),
+            "m2": list(self.mates2),
+            "um": list(self.unmated_reads),
+        }]
 
 
 @dataclass

@@ -60,24 +60,75 @@ def _open_maybe_gz(path: str):
     return open(path, "rb", buffering=1 << 22)
 
 
+def sniff_read_format(path: str) -> str:
+    """'fastq' or 'fasta' from the first non-blank byte — the reference
+    accepts both read formats through jellyfish's whole_sequence_parser
+    (src/SailfishQuantify.cpp:62-64)."""
+    with _open_maybe_gz(path) as fh:
+        while True:
+            line = fh.readline()
+            if not line:
+                return "fastq"  # empty file: arbitrary, parses to 0 reads
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith(b">"):
+                return "fasta"
+            if s.startswith(b"@"):
+                return "fastq"
+            raise IOError(
+                f"{path}: not FASTA or FASTQ (first record starts "
+                f"with {s[:1]!r})"
+            )
+
+
 def _iter_fastq_seq_blocks(
     path: str, reads_per_block: int, skip_reads: int = 0
 ) -> Iterator[list[bytes]]:
-    """Yield lists of raw sequence lines (bytes, no newline)."""
+    """Yield lists of raw sequence lines (bytes, no newline); accepts
+    FASTQ or (multi-line) FASTA read files."""
     block: list[bytes] = []
     to_skip = skip_reads
+    fasta = sniff_read_format(path) == "fasta"
     with _open_maybe_gz(path) as fh:
-        while True:
-            header = fh.readline()
-            if not header:
-                break
-            if header.strip() == b"":
-                continue
-            if not header.startswith(b"@"):
-                raise IOError(f"malformed FASTQ record in {path}")
-            seq = fh.readline().rstrip()
-            fh.readline()  # '+'
-            fh.readline()  # quals
+        if fasta:
+            seq_parts: list[bytes] = []
+            started = False
+
+            def records():
+                nonlocal seq_parts, started
+                for line in fh:
+                    s = line.rstrip()
+                    if not s:
+                        continue
+                    if s.startswith(b">"):
+                        if started:
+                            yield b"".join(seq_parts)
+                        seq_parts = []
+                        started = True
+                    else:
+                        seq_parts.append(s)
+                if started:
+                    yield b"".join(seq_parts)
+
+            record_iter = records()
+        else:
+            def records():
+                while True:
+                    header = fh.readline()
+                    if not header:
+                        return
+                    if header.strip() == b"":
+                        continue
+                    if not header.startswith(b"@"):
+                        raise IOError(f"malformed FASTQ record in {path}")
+                    seq = fh.readline().rstrip()
+                    fh.readline()  # '+'
+                    fh.readline()  # quals
+                    yield seq
+
+            record_iter = records()
+        for seq in record_iter:
             if to_skip > 0:
                 to_skip -= 1
                 continue
@@ -123,12 +174,15 @@ def round_up_len(n: int) -> int:
 class _PyFastqReader:
     """Pure-Python reader with the same next_batch/skip interface as
     io.native.NativeFastqReader (the fallback when _native.so is
-    absent).  skip() reads record lines without parsing or encoding."""
+    absent, and the only reader for FASTA-format reads).  skip() reads
+    record lines without parsing or encoding."""
 
     def __init__(self, path, batch_size, max_len, skip_reads=0):
         self.path = path
         self.batch_size = batch_size
         self.max_len = max_len
+        self._fasta = sniff_read_format(path) == "fasta"
+        self._pending_header = False  # FASTA: '>' line already consumed
         self._fh = _open_maybe_gz(path)
         if skip_reads:
             got = self.skip(skip_reads)
@@ -141,6 +195,37 @@ class _PyFastqReader:
 
     def _next_seq(self) -> bytes | None:
         fh = self._fh
+        if self._fasta:
+            # position invariant: just before a record's '>' header
+            # unless _pending_header (header consumed by the previous
+            # record's lookahead)
+            if not self._pending_header:
+                while True:
+                    header = fh.readline()
+                    if not header:
+                        return None
+                    s = header.strip()
+                    if not s:
+                        continue
+                    if not s.startswith(b">"):
+                        raise IOError(
+                            f"malformed FASTA record in {self.path}"
+                        )
+                    break
+            self._pending_header = False
+            parts: list[bytes] = []
+            while True:
+                line = fh.readline()
+                if not line:
+                    break
+                s = line.rstrip()
+                if not s:
+                    continue
+                if s.startswith(b">"):
+                    self._pending_header = True
+                    break
+                parts.append(s)
+            return b"".join(parts)
         while True:
             header = fh.readline()
             if not header:
@@ -181,7 +266,9 @@ class _PyFastqReader:
 
 def _open_reader(path, batch_size, max_len, skip_reads, use_native):
     rd = None
-    if use_native:
+    # the native C++ decoder parses FASTQ only; FASTA reads take the
+    # Python reader
+    if use_native and sniff_read_format(path) == "fastq":
         from .native import native_open_fastq
 
         rd = native_open_fastq(path, batch_size, max_len, skip_reads)

@@ -72,9 +72,23 @@ def _shard_argv(args, shard_dir: str, sid: int, n: int) -> list[str]:
     argv = [sys.executable, "-m", "sailfish_tpu.cli", "quant",
             "-o", shard_dir, "--numShards", str(n), "--shardId", str(sid),
             "--dumpEq", "--mapOnly"]
+    lib_flags = {"libType", "mates1", "mates2", "unmatedReads"}
+    libraries = getattr(args, "read_libraries_", None) or []
+    if libraries:
+        # multi-library: re-serialize in argv order so each shard's
+        # ordered extraction reconstructs the same libraries
+        for lib in libraries:
+            argv.extend(["--libType", lib["fmt"]])
+            for key, flag in (("m1", "--mates1"), ("m2", "--mates2"),
+                              ("um", "--unmatedReads")):
+                if lib[key]:
+                    argv.append(flag)
+                    argv.extend(str(x) for x in lib[key])
     for dest, flag in _FLAGS.items():
         v = getattr(args, dest, None)
         if dest in _SKIP or v in (None, "", [], False):
+            continue
+        if libraries and dest in lib_flags:
             continue
         if v is True:
             argv.append(flag)
@@ -161,9 +175,12 @@ def run_sharded_quant(args, ordered_opts) -> int:
     from ..config import QuantOpts
     from ..quant import run_quant
 
+    lib_type = args.libType
+    if isinstance(lib_type, list):  # multi-library runs: first libType
+        lib_type = lib_type[0]
     opts = QuantOpts(
         index_dir=args.index, output_dir=out_dir, aux_dir=aux,
-        lib_type=args.libType, resume_from_eq=out_dir,
+        lib_type=lib_type, resume_from_eq=out_dir,
         max_frag_len=args.maxFragLen, num_frag_samples=args.numFragSamples,
         fld_mean=args.fldMean, fld_sd=args.fldSD,
         use_unsmoothed_fld=args.unsmoothedFLD,

@@ -238,13 +238,26 @@ def run_quant(opts: QuantOpts, backend: str = "device",
               ordered_opts: list | None = None) -> dict:
     t_start = time.time()
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
-    expected = parse_library_format(opts.lib_type)
-    paired = expected.type == ReadType.PAIRED_END
+    # ordered read libraries (reference extractReadLibraries,
+    # src/SailfishUtils.cpp:103-153): each carries its own libType and
+    # file groups; all feed one shared eq-class/FLD/bias state, like the
+    # reference's sequential per-library processing loop
+    libs = opts.read_libraries()
+    lib_fmts = [parse_library_format(lib["fmt"]) for lib in libs]
+    paired_flags = [f.type == ReadType.PAIRED_END for f in lib_fmts]
+    paired = any(paired_flags)
     if not opts.resume_from_eq:
-        if paired and (not opts.mates1 or not opts.mates2):
-            raise ValueError("paired-end libType requires --mates1/--mates2")
-        if not paired and not opts.unmated_reads:
-            raise ValueError("single-end libType requires --unmatedReads")
+        for lib, pf in zip(libs, paired_flags):
+            if pf and (not lib["m1"] or not lib["m2"]):
+                raise ValueError(
+                    "paired-end libType requires --mates1/--mates2")
+            if not pf and not lib["um"]:
+                raise ValueError(
+                    "single-end libType requires --unmatedReads")
+            if pf and len(lib["m1"]) != len(lib["m2"]):
+                raise ValueError(
+                    "--mates1 and --mates2 must list the same number "
+                    "of files per library")
     if not (0 <= opts.shard_id < opts.num_shards):
         raise ValueError(
             f"shard_id {opts.shard_id} out of range for "
@@ -259,7 +272,7 @@ def run_quant(opts: QuantOpts, backend: str = "device",
             "enabling both sequence-specific and fragment GC bias correction "
             "simultaneously is not supported"
         )
-    if opts.gc_bias_correct and not paired:
+    if opts.gc_bias_correct and not all(paired_flags):
         log.warning("fragment GC bias correction requires paired-end input; disabling")
         opts.gc_bias_correct = False
 
@@ -328,15 +341,11 @@ def run_quant(opts: QuantOpts, backend: str = "device",
         kern = "xla"
         if backend == "device" and jax.default_backend() == "tpu" \
                 and not getattr(index, "big_sa", False):
-            if paired:
-                opts.mates1 = [_materialize_stream(f) for f in opts.mates1]
-                opts.mates2 = [_materialize_stream(f) for f in opts.mates2]
-                files = list(opts.mates1) + list(opts.mates2)
-            else:
-                opts.unmated_reads = [
-                    _materialize_stream(f) for f in opts.unmated_reads
-                ]
-                files = list(opts.unmated_reads)
+            files = []
+            for lib in libs:
+                for key in ("m1", "m2", "um"):
+                    lib[key] = [_materialize_stream(f) for f in lib[key]]
+                    files.extend(lib[key])
             if max(_probe_max_len(f) for f in files) <= 128:
                 kern = "pallas"
         opts = dataclasses.replace(opts, kernel=kern)
@@ -425,50 +434,52 @@ def run_quant(opts: QuantOpts, backend: str = "device",
     # the single-command form)
     shard = (opts.shard_id, opts.num_shards)
     use_prefetch = hasattr(mapper, "prefetch_pe")
-    if paired:
-        for f1, f2 in zip(opts.mates1, opts.mates2):
-            f1 = _materialize_stream(f1)
-            f2 = _materialize_stream(f2)
-            ml = max(_probe_max_len(f1), _probe_max_len(f2))
-            pf = None  # (prefetched-device-batch, observe_args)
-            for b1, b2 in iter_paired_fastq_batches(
-                f1, f2, opts.batch_size, max_len=ml, shard=shard,
-                decode_threads=opts.num_threads,
-            ):
-                if not use_prefetch:
-                    token = mapper.submit_pe(b1, b2, expected)
-                    if pending is not None:
-                        fold(pending)
-                    pending = (token, (b1, b2))
-                    continue
-                # submit the batch whose H2D already ran under the
-                # previous compute, then start this batch's transfer
-                # under the submitted compute (the raw upload is
-                # hundreds of ms on a tunneled chip)
+    for lib, expected_l, pf_lib in zip(libs, lib_fmts, paired_flags):
+        if pf_lib:
+            for f1, f2 in zip(lib["m1"], lib["m2"]):
+                f1 = _materialize_stream(f1)
+                f2 = _materialize_stream(f2)
+                ml = max(_probe_max_len(f1), _probe_max_len(f2))
+                pf = None  # (prefetched-device-batch, observe_args)
+                for b1, b2 in iter_paired_fastq_batches(
+                    f1, f2, opts.batch_size, max_len=ml, shard=shard,
+                    decode_threads=opts.num_threads,
+                ):
+                    if not use_prefetch:
+                        token = mapper.submit_pe(b1, b2, expected_l)
+                        if pending is not None:
+                            fold(pending)
+                        pending = (token, (b1, b2))
+                        continue
+                    # submit the batch whose H2D already ran under the
+                    # previous compute, then start this batch's transfer
+                    # under the submitted compute (the raw upload is
+                    # hundreds of ms on a tunneled chip)
+                    if pf is not None:
+                        token = mapper.submit_pe(pf[0], expected_l)
+                        nxt = (mapper.prefetch_pe(b1, b2), (b1, b2))
+                        if pending is not None:
+                            fold(pending)
+                        pending = (token, pf[1])
+                        pf = nxt
+                    else:
+                        pf = (mapper.prefetch_pe(b1, b2), (b1, b2))
                 if pf is not None:
-                    token = mapper.submit_pe(pf[0], expected)
-                    nxt = (mapper.prefetch_pe(b1, b2), (b1, b2))
+                    token = mapper.submit_pe(pf[0], expected_l)
                     if pending is not None:
                         fold(pending)
                     pending = (token, pf[1])
-                    pf = nxt
-                else:
-                    pf = (mapper.prefetch_pe(b1, b2), (b1, b2))
-            if pf is not None:
-                token = mapper.submit_pe(pf[0], expected)
-                if pending is not None:
-                    fold(pending)
-                pending = (token, pf[1])
-    else:
-        for f in opts.unmated_reads:
-            f = _materialize_stream(f)
-            for b in iter_fastq_batches(
-                f, opts.batch_size, max_len=_probe_max_len(f), shard=shard
-            ):
-                token = mapper.submit_se(b, expected)
-                if pending is not None:
-                    fold(pending)
-                pending = (token, (b, None))
+        else:
+            for f in lib["um"]:
+                f = _materialize_stream(f)
+                for b in iter_fastq_batches(
+                    f, opts.batch_size, max_len=_probe_max_len(f),
+                    shard=shard
+                ):
+                    token = mapper.submit_se(b, expected_l)
+                    if pending is not None:
+                        fold(pending)
+                    pending = (token, (b, None))
     if pending is not None:
         fold(pending)
     t_map = time.time() - t_map0
@@ -573,7 +584,10 @@ def _infer_and_write(opts, index, names, ref_lens, num_txps, writer, state,
         no_eff_length_correction=opts.no_effective_length_correction,
     )
 
-    expected_name = parse_library_format(opts.lib_type).name
+    expected_name = ";".join(
+        parse_library_format(lib["fmt"]).name
+        for lib in opts.read_libraries()
+    )
     writer.write_lib_format_counts(
         expected_name, state.lib_fmt_counts, state.num_compat,
         state.num_mapped, state.num_observed,
