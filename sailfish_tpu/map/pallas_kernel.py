@@ -918,11 +918,20 @@ def map_oriented_lanes_pallas(
     if os.environ.get("SF_LANE_SCREEN", "1") == "0":
         w16_bits = 0
     compact_lanes = os.environ.get("SF_LANE_COMPACT", "1") == "1"
+    # clean-lane fast path: requires the prepared pk_rows/ht16 arrays
+    # (older callers may pass a reduced dict) and the post-pass
+    fastpath = (
+        os.environ.get("SF_FASTPATH", "1") == "1"
+        and "pk_rows" in text_pallas
+        and postpass
+    )
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"], text_pallas["filt_rows"],
         text_pallas.get("w16_rows", jnp.zeros(8, jnp.int32)),
+        text_pallas.get("pk_rows", jnp.zeros((2, 16), jnp.int32)),
+        text_pallas.get("ht16", jnp.zeros((8, 16), jnp.int32)),
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
@@ -934,6 +943,7 @@ def map_oriented_lanes_pallas(
         filt_access=filt_access,
         w16_bits=w16_bits,
         compact_lanes=compact_lanes,
+        fastpath=fastpath,
     )
 
 
@@ -942,10 +952,12 @@ def map_oriented_lanes_pallas(
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
                      "ht_probes", "n_text", "interpret", "skip_jump",
                      "phases", "postpass", "uniform_len", "filt_bits",
-                     "filt_access", "w16_bits", "compact_lanes"),
+                     "filt_access", "w16_bits", "compact_lanes",
+                     "fastpath"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
+    pk_rows, ht16,
     *,
     k: int,
     cand_cap: int,
@@ -963,6 +975,7 @@ def _map_lanes_pallas_jit(
     filt_access: str = "scalar",
     w16_bits: int = 0,
     compact_lanes: bool = True,
+    fastpath: bool = False,
 ):
     from .kernels import NEG
 
@@ -1034,6 +1047,22 @@ def _map_lanes_pallas_jit(
         keep = jnp.any(present & valid, axis=1)
         klens = jnp.where(keep, olens, 0)
 
+    # ---- clean-lane fast path ----
+    # resolve unique-seed full-length-match lanes entirely in XLA (one
+    # bucket probe + one packed-word verify, all row gathers); their
+    # kernel length drops to 0, so compaction below pushes them into
+    # the dead tail with the screened lanes and the scalar kernel never
+    # sees them
+    f_clean = None
+    if fastpath:
+        pwu_all = jax.lax.bitcast_convert_type(pw_i32, jnp.uint32)
+        f_clean, f_txp, f_pos = _fastpath_clean(
+            codes_pad, pwu_all, klens, ht16, pk_rows,
+            text_rows.reshape(-1),
+            k=k, ht_bits=ht_bits, ht_probes=ht_probes, n_text=n_text,
+        )
+        klens = jnp.where(f_clean, 0, klens)
+
     # ---- lane compaction ----
     # The screen kills ~half of all lanes (the wrong orientation), but
     # they are INTERLEAVED with live ones, so nearly every LB-lane
@@ -1049,7 +1078,7 @@ def _map_lanes_pallas_jit(
     # per-input-lane arrays, so compaction (a lane permutation undone
     # only by the post-pass) must be skipped to keep row <-> read
     # correspondence
-    if compact_lanes and w16_bits > 0 and postpass:
+    if compact_lanes and (w16_bits > 0 or fastpath) and postpass:
         order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
         inv = jnp.argsort(order)
         codes_pad = codes_pad[order]
@@ -1114,7 +1143,148 @@ def _map_lanes_pallas_jit(
     }
     if inv is not None:
         out = {kk: v[inv] for kk, v in out.items()}
+    if f_clean is not None:
+        # splice fast-resolved lanes: one hit in slot 0 (matches the
+        # sorted postpass convention — a single valid hit lands first,
+        # invalid slots carry the zero init), mlen = full read length
+        col0 = jnp.arange(C)[None, :] == 0
+        sel = f_clean[:, None]
+        out["txp"] = jnp.where(sel, jnp.where(col0, f_txp[:, None], 0),
+                               out["txp"])
+        out["pos"] = jnp.where(sel, jnp.where(col0, f_pos[:, None], 0),
+                               out["pos"])
+        out["valid"] = jnp.where(sel, col0, out["valid"])
+        out["mlen"] = jnp.where(f_clean, olens, out["mlen"])
+        out["overflow"] = jnp.where(f_clean, False, out["overflow"])
+        out["num_mapped_loci"] = jnp.where(
+            f_clean, 1, out["num_mapped_loci"]
+        )
     return out
+
+
+def _fastpath_clean(
+    codes_pad,   # (B2, WINW) u8 oriented lane codes, SEP padded
+    pwu,         # (B2, WINW) u32 packed lane words (A-substituted)
+    klens,       # (B2,) i32 post-screen lane lengths
+    ht16,        # (S, 16) i32 bucket rows [k0 x4|k1 x4|lo x4|cnt x4]
+    pk_rows,     # (Rw, 16) i32 [8 aligned text words | 8 special flags]
+    text_flat,   # (3*Rt*128,) i32 flat view of the FUSED text rows
+    *,
+    k: int,
+    ht_bits: int,
+    ht_probes: int,
+    n_text: int,
+):
+    """Vectorized clean-lane resolution (XLA, one probe + one packed
+    verify): a lane whose position-0 k-mer resolves to a UNIQUE text
+    position (cnt == 1; the hash row stores sa[lo] directly) and whose
+    full read matches the text there has, by the MMP scan rules,
+    exactly one MMP covering the whole read — the scan ends
+    (i advances past len-k) and the hit set is that single locus.  Such
+    lanes never need the scalar Pallas kernel; on error-free
+    unique-seed reads (the majority of a typical run) this removes the
+    per-lane scalar orchestration entirely.
+
+    Exactness: every condition is conservative — probe chains longer
+    than two buckets, multi-candidate seeds, reads containing non-ACGT
+    codes, and text windows touching a special (N / separator /
+    text-end) 16-base word all fall through to the kernel, which
+    recomputes from scratch.  For accepted lanes the packed-word
+    compare equals the kernel's true-code compare because both sides
+    are then pure ACGT.
+
+    Returns (clean, txp, pos): clean (B2,) bool; txp/pos valid where
+    clean (the single hit, pos already in-transcript at query offset
+    0)."""
+    U32 = jnp.uint32
+    B2 = codes_pad.shape[0]
+    hmask = jnp.int32((1 << ht_bits) - 1)
+    S = ht16.shape[0]
+    Rw = pk_rows.shape[0]
+
+    k0 = pwu[:, 0]
+    k1 = pwu[:, 16] >> U32(2 * (32 - k))
+    # index/kmerhash.mix_hash_u32
+    h = (k0 * U32(0x9E3779B1)) ^ (k1 * U32(0x85EBCA77))
+    h = h ^ (h >> U32(15))
+    h = h * U32(0xC2B2AE3D)
+    h = h ^ (h >> U32(13))
+    h1 = (h.astype(jnp.int32)) & hmask
+    k0i = jax.lax.bitcast_convert_type(k0, jnp.int32)
+    k1i = jax.lax.bitcast_convert_type(k1, jnp.int32)
+
+    def bucket_probe(hb):
+        row = ht16[jnp.clip(hb, 0, S - 1)]              # (B2, 16)
+        m = ((row[:, 12:16] > 0)
+             & (row[:, 0:4] == k0i[:, None])
+             & (row[:, 4:8] == k1i[:, None]))
+        found = m.any(axis=1)
+        lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
+        cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
+        has_empty = (row[:, 12:16] == 0).any(axis=1)
+        return found, lo, cnt, has_empty
+
+    f1, lo1, c1, e1 = bucket_probe(h1)
+    f2, lo2, c2, _ = bucket_probe((h1 + 1) & hmask)
+    if ht_probes >= 2:
+        found = f1 | (~e1 & f2)
+    else:
+        found = f1
+    cnt = jnp.where(f1, c1, c2)
+    p = jnp.where(f1, lo1, lo2)  # direct text position when cnt == 1
+
+    col = jax.lax.broadcasted_iota(jnp.int32, codes_pad.shape, 1)
+    has_n = ((codes_pad >= 4) & (col < klens[:, None])).any(axis=1)
+    active = (klens >= k) & ~has_n & found & (cnt == 1)
+
+    pc = jnp.clip(p, 0, n_text - 1)
+    w0 = pc >> 4
+    r0 = w0 >> 3
+    ra = pk_rows[jnp.clip(r0, 0, Rw - 1)]               # (B2, 16)
+    rb = pk_rows[jnp.clip(r0 + 1, 0, Rw - 1)]
+    words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
+    spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
+    d = w0 & 7
+
+    def select9(mat):
+        out = jnp.zeros((B2, 9), mat.dtype)
+        for dd in range(8):
+            out = jnp.where((d == dd)[:, None], mat[:, dd : dd + 9], out)
+        return out
+
+    W9 = jax.lax.bitcast_convert_type(select9(words16), jnp.uint32)
+    S9 = select9(spec16)
+    o = pc & 15
+    sh = (o * 2).astype(jnp.uint32)[:, None]
+    aw = jnp.where(
+        (o == 0)[:, None],
+        W9[:, 0:8],
+        (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
+    )                                                    # (B2, 8)
+    rw = pwu[:, 0:128:16]                                # (B2, 8)
+    x = aw ^ rw
+    # leading equal bases per word (earliest base in the MSBs)
+    sm = x
+    for b in (1, 2, 4, 8, 16):
+        sm = sm | (sm >> U32(b))
+    eqb = ((U32(32) - jax.lax.population_count(sm)) >> U32(1)).astype(
+        jnp.int32
+    )
+    wj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    bp = jnp.where(x != 0, 16 * wj + eqb, jnp.int32(4096))
+    raw = jnp.min(bp, axis=1)
+    lstar = jnp.minimum(raw, klens)
+    nword = (klens + 15) >> 4
+    spec_hit = ((S9 != 0)
+                & (jax.lax.broadcasted_iota(jnp.int32, S9.shape, 1)
+                   <= nword[:, None])).any(axis=1)
+    clean = active & (lstar >= klens) & ~spec_hit
+
+    q = pc + ROW  # fused rows carry a front SEP block
+    base = (3 * (q >> 7) + 1) * 128 + (q & 127)
+    txp = text_flat[base]
+    pos = text_flat[base + 128]
+    return clean, txp, pos
 
 
 def prepare_pallas_text(index, cand_cap: int) -> dict:
@@ -1159,14 +1329,39 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
         w16_rows, w16_bits = w16["w16_words"], w16["w16_bits"]
     else:
         w16_rows, w16_bits = np.zeros(8, np.int32), 0
+    ht_rows_np = pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
+
+    # ---- clean-lane fast-path arrays (_fastpath_clean) ----
+    # aligned 16-base text words (packed16 strided to 16-aligned
+    # starts) + per-word special flags (word touches N / separator /
+    # text end), packed [8 words | 8 flags] per row so one row gather
+    # serves both
+    n16 = -(-n // 16)
+    aligned = np.zeros(n16, dtype=np.uint32)
+    aligned[:] = np.asarray(index.packed16, np.uint32)[: 16 * n16 : 16][:n16]
+    codes_np = np.asarray(index.codes[:n])
+    specpos = np.zeros(16 * n16, dtype=bool)
+    specpos[:n] = codes_np >= 4
+    specpos[n:] = True  # text-end padding counts as special
+    spec_word = specpos.reshape(n16, 16).any(axis=1).astype(np.int32)
+    rw_rows = -(-n16 // 8) + 2
+    wpad = np.zeros(rw_rows * 8, dtype=np.uint32)
+    spad = np.ones(rw_rows * 8, dtype=np.int32)  # pad rows: special
+    wpad[:n16] = aligned
+    spad[:n16] = spec_word
+    pk_rows = np.concatenate(
+        [wpad.view(np.int32).reshape(-1, 8), spad.reshape(-1, 8)], axis=1
+    )  # (Rw, 16)
+    S = index.kmer_ht["ht_lo"].shape[0]
+    ht16 = ht_rows_np[: S // 8].reshape(S, 16)
     return {
         "text_rows": jnp.asarray(fused),
         "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
-        "ht_rows": jnp.asarray(
-            pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
-        ),
+        "ht_rows": jnp.asarray(ht_rows_np),
         "filt_rows": jnp.asarray(bloom["filt_rows"]),
         "w16_rows": jnp.asarray(w16_rows),
+        "pk_rows": jnp.asarray(pk_rows),
+        "ht16": jnp.asarray(ht16),
         "n_text": n,
         "filt_bits": bloom["filt_bits_log2"],
         "w16_bits": w16_bits,

@@ -94,6 +94,40 @@ def eq_hash_count_table(h1, h2, mapped, *, bits: int = 16):
     return counts.astype(jnp.int32), checksum.astype(jnp.int32)
 
 
+def _wrap32(x) -> np.ndarray:
+    return ((np.asarray(x, np.int64) + 2**31) % 2**32 - 2**31).astype(
+        np.int32
+    )
+
+
+def expected_eq_table(h1, h2, counts, *, bits: int = 16):
+    """Host-side ground-truth table from exact per-CLASS (h1, h2, count)
+    triples (numpy, int32 wraparound) — what eq_hash_count_table's
+    per-fragment accumulation must equal, label by label."""
+    size = 1 << bits
+    ct = np.zeros(size, np.int64)
+    ck = np.zeros(size, np.int64)
+    slot = np.asarray(h1, np.int64) & (size - 1)
+    np.add.at(ct, slot, np.asarray(counts, np.int64))
+    np.add.at(
+        ck, slot,
+        _wrap32(h2).astype(np.int64) * np.asarray(counts, np.int64),
+    )
+    return ct.astype(np.int32), _wrap32(ck)
+
+
+def collision_suspect_slots(counts, checksum, rep_h2) -> np.ndarray:
+    """The checksum detection path: slots whose accumulated h2 checksum
+    is inconsistent with single-label occupancy at the representative
+    h2 (checksum must equal wrap32(count * rep_h2)) — any mismatch
+    proves two distinct labels share the slot (a low-bits h1
+    collision), telling the caller to fall back to the exact host-side
+    label merge for those classes."""
+    counts = np.asarray(counts, np.int64)
+    exp = _wrap32(counts * _wrap32(rep_h2).astype(np.int64))
+    return np.nonzero((counts > 0) & (np.asarray(checksum) != exp))[0]
+
+
 def distributed_quant_step(
     mesh: Mesh,
     text: dict,

@@ -78,3 +78,43 @@ def test_distributed_step_matches_single_device():
     np.testing.assert_array_equal(e1, e8)
     np.testing.assert_array_equal(x1, x8)
     assert int(e1.sum()) == m1
+
+
+def test_eq_table_collision_detection():
+    """VERDICT r2 weak #7: force a hash-slot collision (two labels with
+    equal low-16 h1 bits, different h2) and assert the checksum
+    detection path fires for exactly that slot."""
+    from sailfish_tpu.parallel.dist import (
+        collision_suspect_slots,
+        eq_hash_count_table,
+        expected_eq_table,
+    )
+
+    # per-fragment streams: label A x3 and B x2 collide in slot 0x42;
+    # label C x4 alone in slot 0x99; one unmapped fragment ignored
+    h1 = np.array([0x00010042] * 3 + [0x00020042] * 2 + [0x99] * 4
+                  + [0xFFFFFFFF], np.uint32)
+    h2 = np.array([111] * 3 + [222] * 2 + [7] * 4 + [0xFFFFFFFF],
+                  np.uint32)
+    mapped = np.array([True] * 9 + [False])
+    ct, ck = eq_hash_count_table(
+        jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(mapped))
+    ct, ck = np.asarray(ct), np.asarray(ck)
+    assert ct[0x42] == 5 and ct[0x99] == 4 and ct.sum() == 9
+    assert ck[0x42] == 3 * 111 + 2 * 222 and ck[0x99] == 4 * 7
+
+    # per-class ground truth reproduces the fragment accumulation
+    ect, eck = expected_eq_table(
+        np.array([0x00010042, 0x00020042, 0x99], np.uint32),
+        np.array([111, 222, 7], np.uint32),
+        np.array([3, 2, 4]),
+    )
+    np.testing.assert_array_equal(ect, ct)
+    np.testing.assert_array_equal(eck, ck)
+
+    # detector: representative h2 per slot (say label A's for 0x42)
+    rep = np.zeros(len(ct), np.int64)
+    rep[0x42] = 111
+    rep[0x99] = 7
+    sus = collision_suspect_slots(ct, ck, rep)
+    assert sus.tolist() == [0x42]  # fires on the collision slot only
