@@ -131,6 +131,12 @@ def run_sharded_quant(args, ordered_opts) -> int:
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
         env["PALLAS_AXON_POOL_IPS"] = ""  # disable remote-TPU registration
+    # SF_SHARD_CPU_PIN=1: pin shard i to core i (mod ncpu) — models a
+    # pod where each shard owns its host's compute, so concurrent-shard
+    # scaling measurements (tools/scaling_concurrent.py) aren't
+    # confounded by XLA's per-process all-core thread pools
+    pin = os.environ.get("SF_SHARD_CPU_PIN", "0") == "1"
+    ncpu = os.cpu_count() or 1
 
     t0 = time.time()
     procs = []
@@ -139,6 +145,8 @@ def run_sharded_quant(args, ordered_opts) -> int:
         sdir = os.path.join(shards_root, f"shard{sid}")
         shard_dirs.append(sdir)
         argv = _shard_argv(args, sdir, sid, n)
+        if pin:
+            argv = ["taskset", "-c", str(sid % ncpu)] + argv
         log.info("launching shard %d/%d: %s", sid, n, " ".join(argv[4:]))
         procs.append(subprocess.Popen(argv, env=env))
     failed = []
