@@ -130,14 +130,15 @@ def _add_quant_parser(sub):
                    help="static per-orientation candidate capacity of the "
                    "device kernels; reads above it are dropped like "
                    "--maxReadOcc (unless --hitCapacityMax escalates them)")
-    p.add_argument("--hitCapacityMax", type=int, default=256,
+    p.add_argument("--hitCapacityMax", type=int, default=1024,
                    help="escalation capacity: fragments whose candidate "
                    "set overflows --hitCapacity are re-mapped through a "
                    "wide-capacity second pass (XLA kernel) at this "
-                   "capacity (0 = off).  The default (256 >= the "
-                   "--maxReadOcc 200 envelope) honors the full reference "
-                   "behavior on repetitive references; sharded indexes "
-                   "disable escalation with a warning")
+                   "capacity (0 = off).  The default (1024) covers the measured "
+                   "repeat-element envelope (docs/PARITY.md #2; 256 "
+                   "dropped 5% of fragments straddling a 400-copy "
+                   "repeat); sharded indexes disable escalation with a "
+                   "warning")
     p.add_argument("--xla2SweepWin", type=int, default=0,
                    help="kernel=xla2 sweep strategy: 0 = precompute Bloom "
                    "presence for all positions; N>0 = on-demand windowed "

@@ -61,6 +61,7 @@ WINW = 256          # read-coordinate window width (>= max read length x2)
 LB = int(os.environ.get("SF_PALLAS_LB", "8"))  # lanes per kernel instance
 BUCKETS_PER_ROW = 8  # 8 x 16 i32 = one 512-byte hash row
 PAD_ROWS = 24       # row padding so 8-row aligned fetches stay in bounds
+_LAST_TEXT_ID = None  # jit-cache guard (see map_oriented_lanes_pallas)
 
 
 def _lsr32(x, n: int):
@@ -892,6 +893,7 @@ def map_oriented_lanes_pallas(
     filt_bits: int | None = None,
     filt_access: str | None = None,
     w16_bits: int | None = None,
+    filtxl_bits: int | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -925,13 +927,48 @@ def map_oriented_lanes_pallas(
         and "pk_rows" in text_pallas
         and postpass
     )
+    # vectorized NIP scan for the residual lanes: needs the fastpath
+    # arrays, an unbinding step budget (max_steps >= positions), and
+    # lane compaction (it runs on the compacted live prefix)
+    fb = (filt_bits if filt_bits is not None
+          else text_pallas.get("filt_bits", 0))
+    xscan = (
+        fastpath
+        and compact_lanes
+        and "filtxl_rows" in text_pallas
+        and os.environ.get("SF_XSCAN", "1") == "1"
+        and max_steps >= (L - k + 1)
+        and 17 <= k <= 31
+        and fb > 0
+    )
+    xscan_t = int(os.environ.get("SF_XSCAN_T", "6"))
+    xscan_f = min(int(os.environ.get("SF_XSCAN_F", "4")), 8, cand_cap)
+    # Workaround for a jax executable-reuse bug: calling the jitted
+    # wrapper with a DIFFERENT index whose arrays have identical shapes
+    # (new process-global arrays, same avals/statics) can hit a cached
+    # executable whose runtime buffer list no longer matches
+    # ("Execution supplied 9 buffers but compiled program expected 17").
+    # One index per process is the production shape; tests build many
+    # tiny indexes, so drop the wrapper's jit cache whenever the text
+    # identity changes.
+    global _LAST_TEXT_ID
+    tid = id(text_pallas.get("text_rows"))
+    if _LAST_TEXT_ID is not None and _LAST_TEXT_ID != tid:
+        _map_lanes_pallas_jit.clear_cache()
+        mmp_scan_pallas.clear_cache()
+    _LAST_TEXT_ID = tid
+    # feature-gated arrays ride as None when their feature is off: an
+    # always-passed-but-unused array gets PRUNED from the compiled
+    # executable, and the persistent compilation cache can then hand an
+    # executable whose buffer list doesn't match the caller's
     return _map_lanes_pallas_jit(
         codes, lens,
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"], text_pallas["filt_rows"],
-        text_pallas.get("w16_rows", jnp.zeros(8, jnp.int32)),
-        text_pallas.get("pk_rows", jnp.zeros((2, 16), jnp.int32)),
-        text_pallas.get("ht16", jnp.zeros((8, 16), jnp.int32)),
+        (text_pallas.get("w16_rows") if w16_bits else None),
+        (text_pallas.get("pk_rows") if fastpath else None),
+        (text_pallas.get("ht16") if fastpath else None),
+        (text_pallas.get("filtxl_rows") if xscan else None),
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
@@ -944,6 +981,12 @@ def map_oriented_lanes_pallas(
         w16_bits=w16_bits,
         compact_lanes=compact_lanes,
         fastpath=fastpath,
+        xscan=xscan,
+        xscan_t=xscan_t,
+        xscan_f=xscan_f,
+        filtxl_bits=(
+            (filtxl_bits if filtxl_bits is not None
+             else text_pallas.get("filtxl_bits", 0)) if xscan else 0),
     )
 
 
@@ -953,11 +996,12 @@ def map_oriented_lanes_pallas(
                      "ht_probes", "n_text", "interpret", "skip_jump",
                      "phases", "postpass", "uniform_len", "filt_bits",
                      "filt_access", "w16_bits", "compact_lanes",
-                     "fastpath"),
+                     "fastpath", "xscan", "xscan_t", "xscan_f",
+                     "filtxl_bits"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
-    pk_rows, ht16,
+    pk_rows, ht16, filtxl_rows,
     *,
     k: int,
     cand_cap: int,
@@ -976,6 +1020,10 @@ def _map_lanes_pallas_jit(
     w16_bits: int = 0,
     compact_lanes: bool = True,
     fastpath: bool = False,
+    xscan: bool = False,
+    xscan_t: int = 6,
+    xscan_f: int = 4,
+    filtxl_bits: int = 0,
 ):
     from .kernels import NEG
 
@@ -1085,6 +1133,34 @@ def _map_lanes_pallas_jit(
         pw_i32 = pw_i32[order]
         klens = klens[order]
 
+    # ---- vectorized NIP scan over the compacted live prefix ----
+    # handles the residual (error-bearing / multi-candidate <= F) lanes
+    # as dense XLA; lanes it cannot prove exact PUNT to the kernel with
+    # their length intact.  Lanes beyond the prefix (live count above
+    # B2/4 — only possible on screen-less or pathological inputs) fall
+    # through to the kernel automatically.
+    xs = None
+    if xscan:
+        from .xscan import nip_scan_xla
+
+        P = max(B2 // 4, LB)
+        pwu_pfx = jax.lax.bitcast_convert_type(pw_i32[:P], jnp.uint32)
+        colx = jax.lax.broadcasted_iota(jnp.int32, (P, WINW), 1)
+        hn = ((codes_pad[:P] >= 4) & (colx < klens[:P, None])).any(axis=1)
+        handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = (
+            nip_scan_xla(
+                pwu_pfx, klens[:P], hn,
+                ht16, pk_rows, sa_rows.reshape(-1, 16),
+                text_rows.reshape(-1), filtxl_rows.reshape(-1),
+                k=k, C=cand_cap, M=max_mmps, F=xscan_f, T=xscan_t,
+                L_read=min(L, WINR), ht_bits=ht_bits,
+                ht_probes=ht_probes, filt_bits=filtxl_bits,
+                n_text=n_text, skip_jump=skip_jump,
+            )
+        )
+        klens = klens.at[:P].set(jnp.where(handled, 0, klens[:P]))
+        xs = (handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over)
+
     gtxp, gpin, vld, meta = mmp_scan_pallas(
         codes_pad.astype(jnp.int32), pw_i32, klens,
         text_rows, sa_rows, ht_rows, filt_rows,
@@ -1093,6 +1169,20 @@ def _map_lanes_pallas_jit(
         n_text=n_text, interpret=interpret, phases=phases,
         filt_bits=filt_bits, filt_access=filt_access,
     )
+    if xs is not None:
+        handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = xs
+        P = xs_txp.shape[0]
+        hm = handled[:, None]
+        gtxp = gtxp.at[:P].set(jnp.where(hm, xs_txp, gtxp[:P]))
+        gpin = gpin.at[:P].set(jnp.where(hm, xs_pin, gpin[:P]))
+        vld = vld.at[:P].set(
+            jnp.where(hm, xs_vld.astype(vld.dtype), vld[:P])
+        )
+        xm = jnp.stack(
+            [xs_nm, xs_over.astype(jnp.int32), xs_mlen,
+             jnp.zeros_like(xs_nm)], axis=1,
+        )
+        meta = meta.at[:P].set(jnp.where(handled[:, None], xm, meta[:P]))
     if not postpass:  # debug: scan-only timing
         return {"gtxp": gtxp, "gpin": gpin, "vld": vld, "meta": meta}
     C, M = cand_cap, max_mmps
@@ -1322,6 +1412,13 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     from ..index.kmerhash import build_kmer_bloom, build_word16_bloom
 
     bloom = build_kmer_bloom(index.kmer_ht)
+    # second, LARGER k-mer Bloom for the XLA nip scan (xscan.py): the
+    # kernel's filter lives in VMEM and is capped at 2^26 bits (~25%
+    # false positives on a 20M-key index — fine there, an FP costs one
+    # cheap probe), but the vectorized scan pays a bounded EVENT per FP,
+    # so it reads this HBM-resident low-FP instance instead
+    bloom_xl = build_kmer_bloom(index.kmer_ht, max_bits_log2=30,
+                                bits_per_key=16)
     # 16-mer lane-screen filter: only useful when the strided test
     # spacing (k-15) is wide enough that the screen is cheap
     if index.k >= 23:
@@ -1362,7 +1459,9 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
         "w16_rows": jnp.asarray(w16_rows),
         "pk_rows": jnp.asarray(pk_rows),
         "ht16": jnp.asarray(ht16),
+        "filtxl_rows": jnp.asarray(bloom_xl["filt_rows"]),
         "n_text": n,
         "filt_bits": bloom["filt_bits_log2"],
+        "filtxl_bits": bloom_xl["filt_bits_log2"],
         "w16_bits": w16_bits,
     }

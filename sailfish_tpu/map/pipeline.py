@@ -440,6 +440,7 @@ class DeviceMapperBackend:
                 self._pallas_n_text = pt.pop("n_text")
                 self._pallas_filt_bits = pt.pop("filt_bits")
                 self._pallas_w16_bits = pt.pop("w16_bits")
+                self._pallas_filtxl_bits = pt.pop("filtxl_bits", 0)
                 self._pallas_text = pt
             return self._pallas_text
         return self.text
@@ -473,6 +474,7 @@ class DeviceMapperBackend:
                 n_text=self._pallas_n_text,
                 filt_bits=self._pallas_filt_bits,
                 w16_bits=self._pallas_w16_bits,
+                filtxl_bits=self._pallas_filtxl_bits,
             )
         elif opts.kernel == "xla2":
             from .kernels2 import map_oriented_lanes_xla2

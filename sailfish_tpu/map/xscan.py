@@ -1,0 +1,308 @@
+"""Vectorized bounded NIP scan (the "everything-else" fast path).
+
+The Pallas kernel (pallas_kernel.py) gives each lane real dynamic
+control flow, but all per-lane work inside a block serializes on the
+TensorCore's ONE scalar pipeline — measured ~58µs per 8-lane block
+step on v5e, which caps the kernel at ~450ms per 64k-fragment
+mate-call no matter how few lanes remain.  This module runs the SAME
+scan semantics as dense vectorized XLA over a compacted lane prefix:
+every per-event operation (hash-table probe, SA-interval slice,
+packed-word LCP verify, hit recording, NIP advance) is a row gather or
+elementwise op across all lanes at once, so per-lane cost is VPU work
+instead of microseconds of serialized scalar work.
+
+Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
+  * presence: the index's single-word k-mer Bloom — a negative PROVES
+    the k-mer absent, so absent positions advance i by 1 exactly like
+    the kernel's ffwd (with the production step budget >= read length
+    the budget never binds, so WHICH sound absence proof fires is
+    unobservable); a false positive probes the table and misses, also
+    advancing by 1 — identical outcomes
+  * probes resolve in the first two buckets (the vast majority; the
+    builder's linear-probe cascade keeps chains short) — longer chains
+    PUNT the lane to the Pallas kernel
+  * candidate intervals: cnt == 1 uses the direct text position the
+    hash row stores; 2 <= cnt <= F slices the SA; cnt > C sets the
+    overflow flag and advances (reference-parity no-hit);
+    F < cnt <= C punts
+  * LCP verify compares A-substituted packed words, exact because
+    lanes containing N punt and candidate windows touching a special
+    (N / separator / text-end) word punt
+  * lanes still active after T events punt
+Punted lanes keep their kernel length and are recomputed from scratch
+by the Pallas kernel, so every punt is semantics-free.
+
+Reference behavior pinned: RapMap SACollector MMP scan as used by
+/root/reference/src/SailfishQuantify.cpp:192-213 (see
+tests/test_hand_fixtures.py for on-paper derivations)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+I32 = jnp.int32
+_BIG = jnp.int32(1 << 20)
+
+
+def _mix_u32(k0, k1):
+    h = (k0 * U32(0x9E3779B1)) ^ (k1 * U32(0x85EBCA77))
+    h = h ^ (h >> U32(15))
+    h = h * U32(0xC2B2AE3D)
+    return h ^ (h >> U32(13))
+
+
+def _mix2_u32(k0, k1):
+    h = (k1 * U32(0x27D4EB2F)) ^ (k0 * U32(0x165667B1))
+    h = h ^ (h >> U32(16))
+    h = h * U32(0x7FEB352D)
+    return h ^ (h >> U32(11))
+
+
+def nip_scan_xla(
+    pwu,         # (P, W) u32 packed lane words (A-substituted)
+    lens,        # (P,) i32 lane lengths (0 = dead/already handled)
+    has_n,       # (P,) bool — lane contains a non-ACGT code in [0, len)
+    ht16,        # (S, 16) i32 bucket rows [k0 x4|k1 x4|lo x4|cnt x4]
+    pk_rows,     # (Rw, 16) i32 [8 aligned text words | 8 special flags]
+    sa16,        # (Rs16, 16) i32 SA values, 16-aligned row view
+    text_flat,   # flat i32 view of the fused text rows (identity source)
+    filt_flat,   # (Fw,) i32 flat k-mer Bloom words (single-word layout)
+    *,
+    k: int,
+    C: int,            # cand_cap (overflow threshold)
+    M: int,            # max MMPs
+    F: int,            # max candidates verified per event (2..8)
+    T: int,            # max probe events per lane
+    L_read: int,       # static read-window width (positions 0..L_read-k)
+    ht_bits: int,
+    ht_probes: int,
+    filt_bits: int,
+    n_text: int,
+    skip_jump: bool,
+):
+    """Returns (handled, gtxp (P, M*C), gpin, vld, nm, mlen, over):
+    `handled` lanes carry complete, exact scan results; others must go
+    to the Pallas kernel."""
+    P = pwu.shape[0]
+    npos = L_read - k + 1
+    hmask = I32((1 << ht_bits) - 1)
+    fmask = I32((1 << filt_bits) - 1)
+    S = ht16.shape[0]
+    Rw = pk_rows.shape[0]
+    Rs16 = sa16.shape[0]
+    shift_k1 = U32(2 * (32 - k))
+
+    # ---- per-position keys + Bloom presence (one word per test) ----
+    k0a = pwu[:, :npos]
+    k1a = pwu[:, 16 : 16 + npos] >> shift_k1
+    h1a = _mix_u32(k0a, k1a)
+    h2a = _mix2_u32(k0a, k1a)
+    wid = h1a.astype(I32) & (fmask >> 5)
+    v = filt_flat[wid]
+    pres = (((v >> (h2a.astype(I32) & 31))
+             & (v >> ((h2a >> U32(5)).astype(I32) & 31))) & 1) == 1
+    posi = jnp.arange(npos, dtype=I32)[None, :]
+    pres = pres & (posi + k <= lens[:, None])
+    nxt = jax.lax.cummin(
+        jnp.where(pres, posi, _BIG), axis=1, reverse=True
+    )  # (P, npos): next present position >= i
+
+    rw = pwu[:, 0 : 16 * 8 : 16]  # (P, 8) read words at cols 0,16,..,112
+
+    def select_w(mat, d, out_w):
+        """mat (P, width) -> (P, out_w) = mat[p, d:d+out_w] via a small
+        static select (d bounded by width - out_w)."""
+        width = mat.shape[1]
+        out = jnp.zeros((P, out_w), mat.dtype)
+        for dd in range(width - out_w + 1):
+            out = jnp.where((d == dd)[:, None], mat[:, dd : dd + out_w],
+                            out)
+        return out
+
+    gtxp = [jnp.zeros((P, C), I32) for _ in range(M)]
+    gpin = [jnp.zeros((P, C), I32) for _ in range(M)]
+    vld = [jnp.zeros((P, C), bool) for _ in range(M)]
+
+    i = jnp.zeros(P, I32)
+    nm = jnp.zeros(P, I32)
+    mlen = jnp.zeros(P, I32)
+    over = jnp.zeros(P, bool)
+    punt = has_n & (lens > 0)
+    fcols = jnp.arange(F, dtype=I32)[None, :]
+    wi8 = jnp.arange(8, dtype=I32)[None, :]
+    wi9 = jnp.arange(9, dtype=I32)[None, :]
+
+    for _ in range(T):
+        act0 = (i + k <= lens) & (nm < M) & ~punt
+        ic = jnp.clip(i, 0, npos - 1)
+        j = jnp.take_along_axis(nxt, ic[:, None], axis=1)[:, 0]
+        # no remaining present position -> the kernel would ffwd to the
+        # read end and stop: mark done by parking i past the end
+        no_more = act0 & (j >= _BIG)
+        i = jnp.where(no_more, lens, i)
+        act = act0 & ~no_more
+        jc = jnp.where(act, j, 0)
+
+        # ---- probe (2 buckets, kernel/oracle-identical resolution) ----
+        k0 = jnp.take_along_axis(k0a, jc[:, None], axis=1)[:, 0]
+        k1 = jnp.take_along_axis(k1a, jc[:, None], axis=1)[:, 0]
+        h1 = _mix_u32(k0, k1).astype(I32) & hmask
+        k0i = jax.lax.bitcast_convert_type(k0, I32)
+        k1i = jax.lax.bitcast_convert_type(k1, I32)
+
+        def bucket(hb):
+            row = ht16[jnp.clip(hb, 0, S - 1)]
+            m = ((row[:, 12:16] > 0)
+                 & (row[:, 0:4] == k0i[:, None])
+                 & (row[:, 4:8] == k1i[:, None]))
+            found = m.any(axis=1)
+            lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
+            cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
+            empty = (row[:, 12:16] == 0).any(axis=1)
+            return found, lo, cnt, empty
+
+        # full probe-chain unroll (the builder bounds chains at
+        # ht_probes, so every probe resolves exactly: a bucket with an
+        # empty slot before a match, or chain exhaustion, is a definitive
+        # miss — same rule as the kernel's resolve_probe)
+        nprobe = min(ht_probes, 8)
+        found = jnp.zeros(P, bool)
+        stopped = jnp.zeros(P, bool)
+        lo = jnp.zeros(P, I32)
+        cnt = jnp.zeros(P, I32)
+        for a in range(nprobe):
+            fa, loa, ca, ea = bucket((h1 + a) & hmask)
+            newly = ~stopped & fa
+            lo = jnp.where(newly, loa, lo)
+            cnt = jnp.where(newly, ca, cnt)
+            found = found | newly
+            stopped = stopped | fa | ea
+        if ht_probes <= 8:
+            miss = ~found
+            unresolved = jnp.zeros(P, bool)
+        else:
+            miss = ~found & stopped
+            unresolved = ~found & ~stopped
+
+        # ---- candidate positions ----
+        single = found & (cnt == 1)
+        multi = found & (cnt > 1) & (cnt <= F)
+        srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs16 - 2)
+        sa32 = jnp.concatenate([sa16[srow], sa16[srow + 1]], axis=1)
+        pf = select_w(sa32, jnp.where(multi, lo & 15, 0), F)
+        p = jnp.where(single[:, None],
+                      jnp.broadcast_to(lo[:, None], (P, F)), pf)
+        ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
+        inc = fcols < ncand[:, None]                 # (P, F) real cands
+        g = p - jc[:, None]
+        bad_g = inc & ((g < 0) | (p >= n_text))
+        gc = jnp.clip(g, 0, n_text - 1)
+        pcl = jnp.clip(p, 0, n_text - 1)
+
+        # ---- verify each candidate: packed-word LCP from col j ----
+        lcp = jnp.full((P, F), -1, I32)
+        spec_any = jnp.zeros(P, bool)
+        nword = (lens + 15) >> 4
+        jword = jc >> 4
+        for f in range(F):
+            gf = gc[:, f]
+            w0 = gf >> 4
+            r0 = jnp.clip(w0 >> 3, 0, Rw - 2)
+            ra = pk_rows[r0]
+            rb = pk_rows[r0 + 1]
+            words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
+            spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
+            W9 = jax.lax.bitcast_convert_type(
+                select_w(words16, w0 & 7, 9), U32)
+            S9 = select_w(spec16, w0 & 7, 9)
+            o = gf & 15
+            sh = (o * 2).astype(U32)[:, None]
+            aw = jnp.where(
+                (o == 0)[:, None],
+                W9[:, 0:8],
+                (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
+            )
+            x = aw ^ rw
+            # ignore compare columns < j: zero the leading (j - 16*wi)
+            # bases of each word (earliest base sits in the MSBs)
+            lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
+            keep = jnp.where(
+                lead >= 16, U32(0),
+                jnp.where(lead == 0, U32(0xFFFFFFFF),
+                          U32(0xFFFFFFFF) >> (2 * lead).astype(U32)),
+            )
+            x = x & keep
+            sm = x
+            for b in (1, 2, 4, 8, 16):
+                sm = sm | (sm >> U32(b))
+            eqb = ((U32(32) - jax.lax.population_count(sm))
+                   >> U32(1)).astype(I32)
+            bp = jnp.where(x != 0, 16 * wi8 + eqb, I32(4096))
+            raw = jnp.min(bp, axis=1)
+            lcp_f = jnp.minimum(raw, lens) - jc
+            lcp = lcp.at[:, f].set(lcp_f)
+            # the compared window words [j>>4, nword] must be
+            # special-free for the A-substituted compare to equal the
+            # true-code compare
+            spec_f = ((S9 != 0) & (wi9 >= jword[:, None])
+                      & (wi9 <= nword[:, None])).any(axis=1)
+            spec_any = spec_any | (inc[:, f] & spec_f)
+
+        lcpm = jnp.where(inc, lcp, -1)
+        lstar = jnp.max(lcpm, axis=1)
+        overflow_ev = act & found & (cnt > C)
+        punt_ev = act & (
+            unresolved
+            | (found & (cnt > F) & (cnt <= C))
+            | (found & (cnt <= F) & (bad_g.any(axis=1) | spec_any))
+        )
+        hit = act & ~punt_ev & found & (cnt > 0) & (cnt <= F) \
+            & (lstar >= k)
+        nohit_adv = act & ~punt_ev & (
+            miss | overflow_ev
+            | (found & (cnt <= F) & (lstar < k))
+        )
+
+        # ---- record hits ----
+        q = pcl + 128  # fused text rows carry a front SEP block (ROW)
+        base = (3 * (q >> 7) + 1) * 128 + (q & 127)
+        txp_f = text_flat[base]
+        pin_f = text_flat[base + 128] - jc[:, None]
+        best = inc & (lcpm == lstar[:, None])
+        padC = C - F
+        for m in range(M):
+            sel = hit & (nm == m)
+            tw = jnp.where(best, txp_f, 0)
+            pw_ = jnp.where(best, pin_f, 0)
+            bw = best
+            if padC:
+                tw = jnp.pad(tw, ((0, 0), (0, padC)))
+                pw_ = jnp.pad(pw_, ((0, 0), (0, padC)))
+                bw = jnp.pad(bw, ((0, 0), (0, padC)))
+            gtxp[m] = jnp.where(sel[:, None], tw, gtxp[m])
+            gpin[m] = jnp.where(sel[:, None], pw_, gpin[m])
+            vld[m] = jnp.where(sel[:, None], bw, vld[m])
+        mlen = jnp.where(hit & (nm == 0), lstar, mlen)
+        over = over | overflow_ev
+        punt = punt | punt_ev
+
+        if skip_jump:
+            adv = lstar + 1
+        else:
+            adv = jnp.maximum(1, lstar - k + 1)
+        i = jnp.where(hit, jc + adv, jnp.where(nohit_adv, jc + 1, i))
+        nm = nm + jnp.where(hit, 1, 0)
+
+    # any lane still holding a future candidate event is unfinished
+    ic = jnp.clip(i, 0, npos - 1)
+    jlast = jnp.take_along_axis(nxt, ic[:, None], axis=1)[:, 0]
+    still = ((i + k <= lens) & (nm < M) & ~punt & (jlast < _BIG))
+    punt = punt | still
+    handled = (lens > 0) & ~punt
+
+    gtxp = jnp.concatenate(gtxp, axis=1)
+    gpin = jnp.concatenate(gpin, axis=1)
+    vldc = jnp.concatenate(vld, axis=1)
+    return handled, gtxp, gpin, vldc, nm, mlen, over

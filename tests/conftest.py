@@ -24,13 +24,22 @@ import jax  # noqa: E402
 # the local CPU devices.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the kernel differential tests jit many
-# (shape, flag) variants; warm runs of the suite skip those compiles
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# NOTE: the persistent compilation cache is intentionally NOT enabled
+# for the test suite.  With it on, mixed-config runs of the pallas
+# wrapper hit a wrong-executable cache read ("Execution supplied 9
+# buffers but compiled program expected 17") and intermittent segfaults
+# inside the cache writer — the cache key appears not to fully cover
+# pallas custom-call payloads in this jax build.  Production entry
+# points (cli.py, bench.py) keep their caches; they run one
+# configuration per process.
+if os.environ.get("SF_TEST_CACHE", "0") == "1":
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jaxcache-tests")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

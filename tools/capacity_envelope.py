@@ -89,7 +89,76 @@ class ProbeSizeMapper:
         return mx
 
 
+def main_repeat_device():
+    """Worst-case stress: a 300bp repeat element planted in 10% of
+    transcripts (Alu-like), so reads overlapping it see exact-k
+    intervals in the hundreds.  The at-risk set is measured on the
+    DEVICE path directly: fragments that map at an effectively
+    unbounded escalation capacity (2048) but are dropped at the
+    production 256 — the exact reference-keeps/repo-drops delta."""
+    import jax.numpy as jnp
+
+    from sailfish_tpu.config import QuantOpts
+    from sailfish_tpu.index.builder import build_index
+    from sailfish_tpu.io.fastq import FastqBatch
+    from sailfish_tpu.libformat import parse_library_format
+    from sailfish_tpu.map.pipeline import DeviceMapperBackend
+
+    rng = np.random.default_rng(5)
+    n_txp, txp_len = 4000, 1000
+    element = rng.integers(0, 4, 300).astype(np.uint8)
+    seqs = []
+    planted = 0
+    for i in range(n_txp):
+        s = rng.integers(0, 4, txp_len).astype(np.uint8)
+        if rng.random() < 0.10:
+            off = int(rng.integers(0, txp_len - 300))
+            s[off : off + 300] = element
+            planted += 1
+        seqs.append(s)
+    idx = build_index([f"t{i}" for i in range(n_txp)], seqs, k=31)
+    log(f"repeat world: {n_txp} txps, element in {planted}")
+
+    B = int(os.environ.get("CE_FRAGS", 2048))
+    lens = np.array([len(s) for s in seqs])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    concat = np.concatenate(seqs)
+    t = rng.integers(0, n_txp, B)
+    fl = np.clip(rng.normal(250, 25, B).astype(int), 110, 600)
+    p = (rng.random(B) * (lens[t] - fl + 1)).astype(int)
+    start = offs[t] + p
+    m1 = concat[start[:, None] + np.arange(100)]
+    m2 = (3 - concat[start[:, None] + (fl[:, None] - 100)
+                     + np.arange(100)][:, ::-1]).astype(np.uint8)
+    L = 104
+    c1 = np.full((B, L), 4, np.uint8)
+    c2 = np.full((B, L), 4, np.uint8)
+    c1[:, :100], c2[:, :100] = m1, m2
+    rl = np.full(B, 100, np.int32)
+    expected = parse_library_format("IU")
+
+    res = {"metric": "hit_capacity_envelope_repeat", "frags": B,
+           "world": f"{n_txp} txps, 300bp element x{planted}"}
+    mapped = {}
+    for cap in (256, 2048):
+        opts = QuantOpts(batch_size=B, hit_capacity=64,
+                         hit_capacity_max=cap, kernel="xla")
+        bk = DeviceMapperBackend(idx, opts)
+        br = bk.map_pe_batch(FastqBatch(c1, rl), FastqBatch(c2, rl),
+                             expected)
+        mapped[cap] = np.asarray(br.mapped)
+        res[f"mapped_cap{cap}"] = int(mapped[cap].sum())
+        log(f"cap {cap}: mapped {int(mapped[cap].sum())}/{B}")
+    at_risk = mapped[2048] & ~mapped[256]
+    res["dropped_at_256_kept_at_2048"] = int(at_risk.sum())
+    res["dropped_at_256_kept_at_2048_frac"] = round(
+        float(at_risk.mean()), 6)
+    print(json.dumps(res), flush=True)
+
+
 def main():
+    if os.environ.get("CE_MODE", "") == "repeat":
+        return main_repeat_device()
     os.environ.setdefault("GB_CACHE", "/tmp/gencode_bench")
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__))))
