@@ -234,31 +234,44 @@ def main():
     log(f"mapped {mapped}/{total} in {dt:.2f}s -> {reads_per_sec:,.0f} reads/s; "
         f"{len(acc)} eq classes")
 
-    # stage breakdown (judge-facing): map-kernel share of an
-    # unpipelined step, with real D2H sync pulls (block_until_ready
-    # can return early over a tunnel)
-    if os.environ.get("BENCH_BREAKDOWN", "1") == "1":
-        import jax.numpy as jnp
+    # stage breakdown (opt-in, BENCH_BREAKDOWN=1): map-kernel share of
+    # an unpipelined step.  OFF by default since round 3: the re-jitted
+    # standalone mate-call intermittently trips an axon-tunnel
+    # executable-reuse flake that wedges the device for the rest of the
+    # process (docs/ROADMAP.md round-3 gotchas), killing the EM metric.
+    # The per-batch steady-state timings above carry the same
+    # information.
+    if os.environ.get("BENCH_BREAKDOWN", "0") == "1":
+        # diagnostic only — a standalone re-jit of the mate-call.  The
+        # axon tunnel intermittently fails REUSED standalone wrapper
+        # executables with an async InvalidArgument (docs/ROADMAP.md
+        # round-3 gotchas); never let that kill the headline metric.
+        try:
+            import jax.numpy as jnp
 
-        c1, c2, lens = batches[0]
-        text = backend._text_arg()
-        ul = int(lens[0])
-        map_fn = jax.jit(
-            lambda tx, c, l: backend._map_lanes(c, l, uniform_len=ul,
-                                                text=tx)
-        )
-        h = map_fn(text, c1, lens)          # compile
-        np.asarray(h[0]["txp"][:4])
-        t0 = time.time()
-        h = map_fn(text, c1, lens)
-        np.asarray(h[0]["txp"][:4])
-        t_map1 = time.time() - t0
-        t0 = time.time()
-        tok = run_batch(c1, c2, lens)
-        t_step = time.time() - t0
-        log(f"breakdown: map-kernel {t_map1*1e3:.0f} ms/mate-call x2; "
-            f"full step {t_step*1e3:.0f} ms; "
-            f"map share ~{min(1.0, 2*t_map1/max(t_step,1e-9))*100:.0f}%")
+            c1, c2, lens = batches[0]
+            text = backend._text_arg()
+            ul = int(lens[0])
+            map_fn = jax.jit(
+                lambda tx, c, l: backend._map_lanes(c, l, uniform_len=ul,
+                                                    text=tx)
+            )
+            h = map_fn(text, c1, lens)          # compile
+            np.asarray(h[0]["txp"][:4])
+            t0 = time.time()
+            h = map_fn(text, c1, lens)
+            np.asarray(h[0]["txp"][:4])
+            t_map1 = time.time() - t0
+            t0 = time.time()
+            tok = run_batch(c1, c2, lens)
+            t_step = time.time() - t0
+            log(f"breakdown: map-kernel {t_map1*1e3:.0f} ms/mate-call x2; "
+                f"full step {t_step*1e3:.0f} ms; "
+                f"map share ~{min(1.0, 2*t_map1/max(t_step,1e-9))*100:.0f}%")
+        except Exception as e:  # noqa: BLE001
+            log(f"breakdown skipped ({type(e).__name__}: tunnel "
+                "executable-reuse flake; steady-state timing above is "
+                "the ground truth)")
 
     # secondary: EM iterations/s on the collapsed classes
     eq = acc.finish()
