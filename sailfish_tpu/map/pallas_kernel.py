@@ -777,6 +777,13 @@ def mmp_scan_pallas(
     sa_rows,     # (Rs, 128) i32 sentinel-padded SA rows
     ht_rows,     # (S/8, 128) i32 (unique k-mers carry sa[lo] directly)
     filt_rows,   # (F/4096, 128) i32 presence-filter bits (VMEM resident)
+    live_lanes=None,  # traced i32 scalar: live lanes sit in rows
+                 # [0, live_lanes) (caller-compacted).  When given, the
+                 # grid is DYNAMIC — only ceil(live/LB) blocks launch,
+                 # so an almost-dead batch (the production case after
+                 # the clean fast path + xscan) pays for its live blocks
+                 # only.  Rows beyond the launched blocks are NOT
+                 # written (stale HBM) — the caller must mask them.
     *,
     k: int,
     cand_cap: int,
@@ -798,7 +805,11 @@ def mmp_scan_pallas(
         raise ValueError("mmp_scan_pallas requires cand_cap >= 2")
     B2 = codes_i32.shape[0]
     C, M = cand_cap, max_mmps
-    grid = (B2 // LB,)
+    if live_lanes is None:
+        grid = (B2 // LB,)
+    else:
+        nb = jnp.clip((live_lanes + (LB - 1)) // LB, 1, B2 // LB)
+        grid = (nb,)
 
     kern = partial(
         _scan_kernel,
@@ -1139,6 +1150,7 @@ def _map_lanes_pallas_jit(
     # their length intact.  Lanes beyond the prefix (live count above
     # B2/4 — only possible on screen-less or pathological inputs) fall
     # through to the kernel automatically.
+    live_pre = klens  # pre-xscan lengths: their live set is a prefix
     xs = None
     if xscan:
         from .xscan import nip_scan_xla
@@ -1161,14 +1173,45 @@ def _map_lanes_pallas_jit(
         klens = klens.at[:P].set(jnp.where(handled, 0, klens[:P]))
         xs = (handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over)
 
-    gtxp, gpin, vld, meta = mmp_scan_pallas(
-        codes_pad.astype(jnp.int32), pw_i32, klens,
-        text_rows, sa_rows, ht_rows, filt_rows,
+    # ---- dynamic-grid residual kernel ----
+    # After the clean fast path + xscan, typically only a few hundred
+    # punted lanes remain live, yet a static grid still launches
+    # B2/LB blocks whose fixed per-block cost (~5µs dead) dominated the
+    # kernel call (~80ms at a 16k grid).  The first compaction already
+    # packs every lane that was EVER live into the prefix [0, live1) —
+    # xscan only zeroes lanes in place — so launching ceil(live1/LB)
+    # blocks covers every lane the kernel is responsible for, with NO
+    # re-permutation (XLA row gathers of the (B2, 256) lane arrays
+    # measured ~1.6GB/s on v5e: a permutation-based compaction cost
+    # +290ms, far more than it saved).  Rows past the launched blocks
+    # are stale HBM and are masked below.  Interpret mode (CPU tests)
+    # keeps the static grid; the masking runs there too, as identity.
+    dyn = (not interpret) and (order is not None) \
+        and os.environ.get("SF_DYNGRID", "1") == "1"
+    kkw = dict(
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=n_text, interpret=interpret, phases=phases,
         filt_bits=filt_bits, filt_access=filt_access,
     )
+    codes_i32 = codes_pad.astype(jnp.int32)
+    if not dyn:
+        gtxp, gpin, vld, meta = mmp_scan_pallas(
+            codes_i32, pw_i32, klens,
+            text_rows, sa_rows, ht_rows, filt_rows, **kkw,
+        )
+    else:
+        # count over the PRE-xscan live set (its prefix invariant holds)
+        live1 = (live_pre > 0).sum().astype(jnp.int32)
+        gtxp, gpin, vld, meta = mmp_scan_pallas(
+            codes_i32, pw_i32, klens,
+            text_rows, sa_rows, ht_rows, filt_rows, live1, **kkw,
+        )
+        lm = (live_pre > 0)[:, None]
+        gtxp = jnp.where(lm, gtxp, 0)
+        gpin = jnp.where(lm, gpin, 0)
+        vld = jnp.where(lm, vld, 0)
+        meta = jnp.where(lm, meta, 0)
     if xs is not None:
         handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = xs
         P = xs_txp.shape[0]

@@ -11,6 +11,17 @@ packed-word LCP verify, hit recording, NIP advance) is a row gather or
 elementwise op across all lanes at once, so per-lane cost is VPU work
 instead of microseconds of serialized scalar work.
 
+Two-phase schedule (round 4): most lanes that reach this scan finish in
+1-3 probe events (one MMP to the error, a Bloom-guided jump past it,
+one MMP to the read end), so iterating the full lane prefix T times
+wastes most of the work.  Phase A runs T1 events at full width P; the
+still-active lanes are then compacted to a P//4 prefix and phase B runs
+the remaining T-T1 events there.  Both phases are lax.scan loops (ONE
+traced body each instead of T unrolled copies — the unrolled form
+dominated XLA compile time of the fused production step).  Active lanes
+that overflow the phase-B prefix PUNT to the Pallas kernel, so the
+shrink is semantics-free.
+
 Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
   * presence: the index's single-word k-mer Bloom — a negative PROVES
     the k-mer absent, so absent positions advance i by 1 exactly like
@@ -18,9 +29,8 @@ Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
     the budget never binds, so WHICH sound absence proof fires is
     unobservable); a false positive probes the table and misses, also
     advancing by 1 — identical outcomes
-  * probes resolve in the first two buckets (the vast majority; the
-    builder's linear-probe cascade keeps chains short) — longer chains
-    PUNT the lane to the Pallas kernel
+  * probes resolve within the builder's ht_probes chain bound — an
+    unresolved chain (only possible when ht_probes > 8) PUNTS
   * candidate intervals: cnt == 1 uses the direct text position the
     hash row stores; 2 <= cnt <= F slices the SA; cnt > C sets the
     overflow flag and advances (reference-parity no-hit);
@@ -60,6 +70,193 @@ def _mix2_u32(k0, k1):
     return h ^ (h >> U32(11))
 
 
+def _select_w(mat, d, out_w):
+    """mat (P, width) -> (P, out_w) = mat[p, d:d+out_w] via a small
+    static select (d bounded by width - out_w)."""
+    P, width = mat.shape
+    out = jnp.zeros((P, out_w), mat.dtype)
+    for dd in range(width - out_w + 1):
+        out = jnp.where((d == dd)[:, None], mat[:, dd : dd + out_w], out)
+    return out
+
+
+def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
+                n_text, skip_jump, npos):
+    """One probe event for every lane: Bloom-guided advance to the next
+    present position, hash probe, candidate fetch + packed-word LCP
+    verify, hit recording, NIP/JUMP advance.  All state is stacked
+    arrays so the caller can run this under lax.scan."""
+    i, nm, mlen, over, punt, gtxp, gpin, vld = state
+    k0a, k1a, nxt, rw, lens = lane
+    ht16, pk_rows, sa16, text_flat = tables
+    P = i.shape[0]
+    hmask = I32((1 << ht_bits) - 1)
+    S = ht16.shape[0]
+    Rw = pk_rows.shape[0]
+    Rs16 = sa16.shape[0]
+    fcols = jnp.arange(F, dtype=I32)[None, :]
+    wi8 = jnp.arange(8, dtype=I32)[None, :]
+    wi9 = jnp.arange(9, dtype=I32)[None, :]
+
+    act0 = (i + k <= lens) & (nm < M) & ~punt
+    ic = jnp.clip(i, 0, npos - 1)
+    j = jnp.take_along_axis(nxt, ic[:, None], axis=1)[:, 0]
+    # no remaining present position -> the kernel would ffwd to the
+    # read end and stop: mark done by parking i past the end
+    no_more = act0 & (j >= _BIG)
+    i = jnp.where(no_more, lens, i)
+    act = act0 & ~no_more
+    jc = jnp.where(act, j, 0)
+
+    # ---- probe (full chain, kernel/oracle-identical resolution) ----
+    k0 = jnp.take_along_axis(k0a, jc[:, None], axis=1)[:, 0]
+    k1 = jnp.take_along_axis(k1a, jc[:, None], axis=1)[:, 0]
+    h1 = _mix_u32(k0, k1).astype(I32) & hmask
+    k0i = jax.lax.bitcast_convert_type(k0, I32)
+    k1i = jax.lax.bitcast_convert_type(k1, I32)
+
+    def bucket(hb):
+        row = ht16[jnp.clip(hb, 0, S - 1)]
+        m = ((row[:, 12:16] > 0)
+             & (row[:, 0:4] == k0i[:, None])
+             & (row[:, 4:8] == k1i[:, None]))
+        found = m.any(axis=1)
+        lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
+        cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
+        empty = (row[:, 12:16] == 0).any(axis=1)
+        return found, lo, cnt, empty
+
+    # full probe-chain unroll (the builder bounds chains at ht_probes,
+    # so every probe resolves exactly: a bucket with an empty slot
+    # before a match, or chain exhaustion, is a definitive miss — same
+    # rule as the kernel's resolve_probe)
+    nprobe = min(ht_probes, 8)
+    found = jnp.zeros(P, bool)
+    stopped = jnp.zeros(P, bool)
+    lo = jnp.zeros(P, I32)
+    cnt = jnp.zeros(P, I32)
+    for a in range(nprobe):
+        fa, loa, ca, ea = bucket((h1 + a) & hmask)
+        newly = ~stopped & fa
+        lo = jnp.where(newly, loa, lo)
+        cnt = jnp.where(newly, ca, cnt)
+        found = found | newly
+        stopped = stopped | fa | ea
+    if ht_probes <= 8:
+        miss = ~found
+        unresolved = jnp.zeros(P, bool)
+    else:
+        miss = ~found & stopped
+        unresolved = ~found & ~stopped
+
+    # ---- candidate positions ----
+    single = found & (cnt == 1)
+    multi = found & (cnt > 1) & (cnt <= F)
+    srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs16 - 2)
+    sa32 = jnp.concatenate([sa16[srow], sa16[srow + 1]], axis=1)
+    pf = _select_w(sa32, jnp.where(multi, lo & 15, 0), F)
+    p = jnp.where(single[:, None],
+                  jnp.broadcast_to(lo[:, None], (P, F)), pf)
+    ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
+    inc = fcols < ncand[:, None]                 # (P, F) real cands
+    g = p - jc[:, None]
+    bad_g = inc & ((g < 0) | (p >= n_text))
+    gc = jnp.clip(g, 0, n_text - 1)
+    pcl = jnp.clip(p, 0, n_text - 1)
+
+    # ---- verify each candidate: packed-word LCP from col j ----
+    lcp = jnp.full((P, F), -1, I32)
+    spec_any = jnp.zeros(P, bool)
+    nword = (lens + 15) >> 4
+    jword = jc >> 4
+    for f in range(F):
+        gf = gc[:, f]
+        w0 = gf >> 4
+        r0 = jnp.clip(w0 >> 3, 0, Rw - 2)
+        ra = pk_rows[r0]
+        rb = pk_rows[r0 + 1]
+        words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
+        spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
+        W9 = jax.lax.bitcast_convert_type(
+            _select_w(words16, w0 & 7, 9), U32)
+        S9 = _select_w(spec16, w0 & 7, 9)
+        o = gf & 15
+        sh = (o * 2).astype(U32)[:, None]
+        aw = jnp.where(
+            (o == 0)[:, None],
+            W9[:, 0:8],
+            (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
+        )
+        x = aw ^ rw
+        # ignore compare columns < j: zero the leading (j - 16*wi)
+        # bases of each word (earliest base sits in the MSBs)
+        lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
+        keep = jnp.where(
+            lead >= 16, U32(0),
+            jnp.where(lead == 0, U32(0xFFFFFFFF),
+                      U32(0xFFFFFFFF) >> (2 * lead).astype(U32)),
+        )
+        x = x & keep
+        sm = x
+        for b in (1, 2, 4, 8, 16):
+            sm = sm | (sm >> U32(b))
+        eqb = ((U32(32) - jax.lax.population_count(sm))
+               >> U32(1)).astype(I32)
+        bp = jnp.where(x != 0, 16 * wi8 + eqb, I32(4096))
+        raw = jnp.min(bp, axis=1)
+        lcp_f = jnp.minimum(raw, lens) - jc
+        lcp = lcp.at[:, f].set(lcp_f)
+        # the compared window words [j>>4, nword] must be special-free
+        # for the A-substituted compare to equal the true-code compare
+        spec_f = ((S9 != 0) & (wi9 >= jword[:, None])
+                  & (wi9 <= nword[:, None])).any(axis=1)
+        spec_any = spec_any | (inc[:, f] & spec_f)
+
+    lcpm = jnp.where(inc, lcp, -1)
+    lstar = jnp.max(lcpm, axis=1)
+    overflow_ev = act & found & (cnt > C)
+    punt_ev = act & (
+        unresolved
+        | (found & (cnt > F) & (cnt <= C))
+        | (found & (cnt <= F) & (bad_g.any(axis=1) | spec_any))
+    )
+    hit = act & ~punt_ev & found & (cnt > 0) & (cnt <= F) \
+        & (lstar >= k)
+    nohit_adv = act & ~punt_ev & (
+        miss | overflow_ev
+        | (found & (cnt <= F) & (lstar < k))
+    )
+
+    # ---- record hits (one-hot over the M MMP slots) ----
+    q = pcl + 128  # fused text rows carry a front SEP block (ROW)
+    base = (3 * (q >> 7) + 1) * 128 + (q & 127)
+    txp_f = text_flat[base]
+    pin_f = text_flat[base + 128] - jc[:, None]
+    best = inc & (lcpm == lstar[:, None])                # (P, F)
+    padC = C - F
+    if padC:
+        txp_f = jnp.pad(txp_f, ((0, 0), (0, padC)))
+        pin_f = jnp.pad(pin_f, ((0, 0), (0, padC)))
+        best = jnp.pad(best, ((0, 0), (0, padC)))
+    onem = (hit[:, None]
+            & (jnp.arange(M, dtype=I32)[None, :] == nm[:, None]))
+    sel = onem[:, :, None] & best[:, None, :]            # (P, M, C)
+    gtxp = jnp.where(sel, txp_f[:, None, :], gtxp)
+    gpin = jnp.where(sel, pin_f[:, None, :], gpin)
+    vld = jnp.where(onem[:, :, None], sel, vld)
+    mlen = jnp.where(hit & (nm == 0), lstar, mlen)
+    over = over | overflow_ev
+    punt = punt | punt_ev
+
+    if skip_jump:
+        adv = lstar + 1
+    else:
+        adv = jnp.maximum(1, lstar - k + 1)
+    i = jnp.where(hit, jc + adv, jnp.where(nohit_adv, jc + 1, i))
+    nm = nm + jnp.where(hit, 1, 0)
+    return (i, nm, mlen, over, punt, gtxp, gpin, vld)
+
+
 def nip_scan_xla(
     pwu,         # (P, W) u32 packed lane words (A-substituted)
     lens,        # (P,) i32 lane lengths (0 = dead/already handled)
@@ -81,17 +278,14 @@ def nip_scan_xla(
     filt_bits: int,
     n_text: int,
     skip_jump: bool,
+    T1: int = 2,       # phase-A events at full width before compaction
 ):
     """Returns (handled, gtxp (P, M*C), gpin, vld, nm, mlen, over):
     `handled` lanes carry complete, exact scan results; others must go
     to the Pallas kernel."""
     P = pwu.shape[0]
     npos = L_read - k + 1
-    hmask = I32((1 << ht_bits) - 1)
     fmask = I32((1 << filt_bits) - 1)
-    S = ht16.shape[0]
-    Rw = pk_rows.shape[0]
-    Rs16 = sa16.shape[0]
     shift_k1 = U32(2 * (32 - k))
 
     # ---- per-position keys + Bloom presence (one word per test) ----
@@ -111,198 +305,70 @@ def nip_scan_xla(
 
     rw = pwu[:, 0 : 16 * 8 : 16]  # (P, 8) read words at cols 0,16,..,112
 
-    def select_w(mat, d, out_w):
-        """mat (P, width) -> (P, out_w) = mat[p, d:d+out_w] via a small
-        static select (d bounded by width - out_w)."""
-        width = mat.shape[1]
-        out = jnp.zeros((P, out_w), mat.dtype)
-        for dd in range(width - out_w + 1):
-            out = jnp.where((d == dd)[:, None], mat[:, dd : dd + out_w],
-                            out)
-        return out
+    kw = dict(k=k, C=C, M=M, F=F, ht_bits=ht_bits, ht_probes=ht_probes,
+              n_text=n_text, skip_jump=skip_jump, npos=npos)
+    tables = (ht16, pk_rows, sa16, text_flat)
 
-    gtxp = [jnp.zeros((P, C), I32) for _ in range(M)]
-    gpin = [jnp.zeros((P, C), I32) for _ in range(M)]
-    vld = [jnp.zeros((P, C), bool) for _ in range(M)]
+    def scan_phase(state, lane, steps):
+        def body(st, _):
+            return _event_step(st, lane, tables, **kw), None
 
-    i = jnp.zeros(P, I32)
-    nm = jnp.zeros(P, I32)
-    mlen = jnp.zeros(P, I32)
-    over = jnp.zeros(P, bool)
-    punt = has_n & (lens > 0)
-    fcols = jnp.arange(F, dtype=I32)[None, :]
-    wi8 = jnp.arange(8, dtype=I32)[None, :]
-    wi9 = jnp.arange(9, dtype=I32)[None, :]
+        state, _ = jax.lax.scan(body, state, None, length=steps)
+        return state
 
-    for _ in range(T):
-        act0 = (i + k <= lens) & (nm < M) & ~punt
+    state = (
+        jnp.zeros(P, I32),                 # i
+        jnp.zeros(P, I32),                 # nm
+        jnp.zeros(P, I32),                 # mlen
+        jnp.zeros(P, bool),                # over
+        has_n & (lens > 0),                # punt
+        jnp.zeros((P, M, C), I32),         # gtxp
+        jnp.zeros((P, M, C), I32),         # gpin
+        jnp.zeros((P, M, C), bool),        # vld
+    )
+    lane = (k0a, k1a, nxt, rw, lens)
+
+    T1 = min(T1, T)
+    state = scan_phase(state, lane, T1)
+
+    def active_of(st, ln):
+        i, nm, _, _, punt = st[:5]
         ic = jnp.clip(i, 0, npos - 1)
-        j = jnp.take_along_axis(nxt, ic[:, None], axis=1)[:, 0]
-        # no remaining present position -> the kernel would ffwd to the
-        # read end and stop: mark done by parking i past the end
-        no_more = act0 & (j >= _BIG)
-        i = jnp.where(no_more, lens, i)
-        act = act0 & ~no_more
-        jc = jnp.where(act, j, 0)
+        jn = jnp.take_along_axis(ln[2], ic[:, None], axis=1)[:, 0]
+        return (i + k <= ln[4]) & (nm < M) & ~punt & (jn < _BIG)
 
-        # ---- probe (2 buckets, kernel/oracle-identical resolution) ----
-        k0 = jnp.take_along_axis(k0a, jc[:, None], axis=1)[:, 0]
-        k1 = jnp.take_along_axis(k1a, jc[:, None], axis=1)[:, 0]
-        h1 = _mix_u32(k0, k1).astype(I32) & hmask
-        k0i = jax.lax.bitcast_convert_type(k0, I32)
-        k1i = jax.lax.bitcast_convert_type(k1, I32)
+    if T > T1:
+        # ---- compact still-active lanes to a quarter-width prefix ----
+        act = active_of(state, lane)
+        P2 = max(P // 4, 8)
+        # active lanes beyond the prefix punt (semantics-free: the
+        # kernel recomputes them from scratch)
+        rank = jnp.cumsum(act.astype(I32)) - 1
+        spill = act & (rank >= P2)
+        i, nm, mlen, over, punt, gtxp, gpin, vld = state
+        punt = punt | spill
+        act = act & ~spill
+        order = jnp.argsort(~act, stable=True)
+        idx = order[:P2]
+        sub_state = (i[idx], nm[idx], mlen[idx], over[idx], punt[idx],
+                     gtxp[idx], gpin[idx], vld[idx])
+        sub_lane = (k0a[idx], k1a[idx], nxt[idx], rw[idx], lens[idx])
+        sub_state = scan_phase(sub_state, sub_lane, T - T1)
+        si, snm, smlen, sover, spunt, sgtxp, sgpin, svld = sub_state
+        i = i.at[idx].set(si)
+        nm = nm.at[idx].set(snm)
+        mlen = mlen.at[idx].set(smlen)
+        over = over.at[idx].set(sover)
+        punt = punt.at[idx].set(spunt)
+        gtxp = gtxp.at[idx].set(sgtxp)
+        gpin = gpin.at[idx].set(sgpin)
+        vld = vld.at[idx].set(svld)
+        state = (i, nm, mlen, over, punt, gtxp, gpin, vld)
 
-        def bucket(hb):
-            row = ht16[jnp.clip(hb, 0, S - 1)]
-            m = ((row[:, 12:16] > 0)
-                 & (row[:, 0:4] == k0i[:, None])
-                 & (row[:, 4:8] == k1i[:, None]))
-            found = m.any(axis=1)
-            lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
-            cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
-            empty = (row[:, 12:16] == 0).any(axis=1)
-            return found, lo, cnt, empty
-
-        # full probe-chain unroll (the builder bounds chains at
-        # ht_probes, so every probe resolves exactly: a bucket with an
-        # empty slot before a match, or chain exhaustion, is a definitive
-        # miss — same rule as the kernel's resolve_probe)
-        nprobe = min(ht_probes, 8)
-        found = jnp.zeros(P, bool)
-        stopped = jnp.zeros(P, bool)
-        lo = jnp.zeros(P, I32)
-        cnt = jnp.zeros(P, I32)
-        for a in range(nprobe):
-            fa, loa, ca, ea = bucket((h1 + a) & hmask)
-            newly = ~stopped & fa
-            lo = jnp.where(newly, loa, lo)
-            cnt = jnp.where(newly, ca, cnt)
-            found = found | newly
-            stopped = stopped | fa | ea
-        if ht_probes <= 8:
-            miss = ~found
-            unresolved = jnp.zeros(P, bool)
-        else:
-            miss = ~found & stopped
-            unresolved = ~found & ~stopped
-
-        # ---- candidate positions ----
-        single = found & (cnt == 1)
-        multi = found & (cnt > 1) & (cnt <= F)
-        srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs16 - 2)
-        sa32 = jnp.concatenate([sa16[srow], sa16[srow + 1]], axis=1)
-        pf = select_w(sa32, jnp.where(multi, lo & 15, 0), F)
-        p = jnp.where(single[:, None],
-                      jnp.broadcast_to(lo[:, None], (P, F)), pf)
-        ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
-        inc = fcols < ncand[:, None]                 # (P, F) real cands
-        g = p - jc[:, None]
-        bad_g = inc & ((g < 0) | (p >= n_text))
-        gc = jnp.clip(g, 0, n_text - 1)
-        pcl = jnp.clip(p, 0, n_text - 1)
-
-        # ---- verify each candidate: packed-word LCP from col j ----
-        lcp = jnp.full((P, F), -1, I32)
-        spec_any = jnp.zeros(P, bool)
-        nword = (lens + 15) >> 4
-        jword = jc >> 4
-        for f in range(F):
-            gf = gc[:, f]
-            w0 = gf >> 4
-            r0 = jnp.clip(w0 >> 3, 0, Rw - 2)
-            ra = pk_rows[r0]
-            rb = pk_rows[r0 + 1]
-            words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
-            spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
-            W9 = jax.lax.bitcast_convert_type(
-                select_w(words16, w0 & 7, 9), U32)
-            S9 = select_w(spec16, w0 & 7, 9)
-            o = gf & 15
-            sh = (o * 2).astype(U32)[:, None]
-            aw = jnp.where(
-                (o == 0)[:, None],
-                W9[:, 0:8],
-                (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
-            )
-            x = aw ^ rw
-            # ignore compare columns < j: zero the leading (j - 16*wi)
-            # bases of each word (earliest base sits in the MSBs)
-            lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
-            keep = jnp.where(
-                lead >= 16, U32(0),
-                jnp.where(lead == 0, U32(0xFFFFFFFF),
-                          U32(0xFFFFFFFF) >> (2 * lead).astype(U32)),
-            )
-            x = x & keep
-            sm = x
-            for b in (1, 2, 4, 8, 16):
-                sm = sm | (sm >> U32(b))
-            eqb = ((U32(32) - jax.lax.population_count(sm))
-                   >> U32(1)).astype(I32)
-            bp = jnp.where(x != 0, 16 * wi8 + eqb, I32(4096))
-            raw = jnp.min(bp, axis=1)
-            lcp_f = jnp.minimum(raw, lens) - jc
-            lcp = lcp.at[:, f].set(lcp_f)
-            # the compared window words [j>>4, nword] must be
-            # special-free for the A-substituted compare to equal the
-            # true-code compare
-            spec_f = ((S9 != 0) & (wi9 >= jword[:, None])
-                      & (wi9 <= nword[:, None])).any(axis=1)
-            spec_any = spec_any | (inc[:, f] & spec_f)
-
-        lcpm = jnp.where(inc, lcp, -1)
-        lstar = jnp.max(lcpm, axis=1)
-        overflow_ev = act & found & (cnt > C)
-        punt_ev = act & (
-            unresolved
-            | (found & (cnt > F) & (cnt <= C))
-            | (found & (cnt <= F) & (bad_g.any(axis=1) | spec_any))
-        )
-        hit = act & ~punt_ev & found & (cnt > 0) & (cnt <= F) \
-            & (lstar >= k)
-        nohit_adv = act & ~punt_ev & (
-            miss | overflow_ev
-            | (found & (cnt <= F) & (lstar < k))
-        )
-
-        # ---- record hits ----
-        q = pcl + 128  # fused text rows carry a front SEP block (ROW)
-        base = (3 * (q >> 7) + 1) * 128 + (q & 127)
-        txp_f = text_flat[base]
-        pin_f = text_flat[base + 128] - jc[:, None]
-        best = inc & (lcpm == lstar[:, None])
-        padC = C - F
-        for m in range(M):
-            sel = hit & (nm == m)
-            tw = jnp.where(best, txp_f, 0)
-            pw_ = jnp.where(best, pin_f, 0)
-            bw = best
-            if padC:
-                tw = jnp.pad(tw, ((0, 0), (0, padC)))
-                pw_ = jnp.pad(pw_, ((0, 0), (0, padC)))
-                bw = jnp.pad(bw, ((0, 0), (0, padC)))
-            gtxp[m] = jnp.where(sel[:, None], tw, gtxp[m])
-            gpin[m] = jnp.where(sel[:, None], pw_, gpin[m])
-            vld[m] = jnp.where(sel[:, None], bw, vld[m])
-        mlen = jnp.where(hit & (nm == 0), lstar, mlen)
-        over = over | overflow_ev
-        punt = punt | punt_ev
-
-        if skip_jump:
-            adv = lstar + 1
-        else:
-            adv = jnp.maximum(1, lstar - k + 1)
-        i = jnp.where(hit, jc + adv, jnp.where(nohit_adv, jc + 1, i))
-        nm = nm + jnp.where(hit, 1, 0)
-
+    i, nm, mlen, over, punt, gtxp, gpin, vld = state
     # any lane still holding a future candidate event is unfinished
-    ic = jnp.clip(i, 0, npos - 1)
-    jlast = jnp.take_along_axis(nxt, ic[:, None], axis=1)[:, 0]
-    still = ((i + k <= lens) & (nm < M) & ~punt & (jlast < _BIG))
-    punt = punt | still
+    punt = punt | active_of(state, lane)
     handled = (lens > 0) & ~punt
 
-    gtxp = jnp.concatenate(gtxp, axis=1)
-    gpin = jnp.concatenate(gpin, axis=1)
-    vldc = jnp.concatenate(vld, axis=1)
-    return handled, gtxp, gpin, vldc, nm, mlen, over
+    return (handled, gtxp.reshape(P, M * C), gpin.reshape(P, M * C),
+            vld.reshape(P, M * C), nm, mlen, over)
