@@ -247,26 +247,30 @@ def build_word16_bloom(packed16: np.ndarray, n_text: int,
 
     Keys are packed16 words (A-substituted), the same convention as the
     read lanes' packed words, so presence is exact for any 16-mer that
-    could participate in a match.  Two probe bits, both derived from
-    mix_hash_u32(word, 0) / filter_hash2_u32(word, 0) — the jnp probe
-    in the lane screen must match bit-for-bit.  False positives only
-    admit a lane into the kernel (which then finds nothing); there are
-    no false negatives.  ~32 bits/key keeps the per-test fp rate ~0.4%
-    so a 6-test lane stays below ~2.5% accidental keep (a kept lane
-    costs a full in-kernel absence sweep)."""
+    could participate in a match.  SINGLE-WORD blocked layout (same
+    scheme as build_kmer_bloom): the key's filter word index comes from
+    mix_hash_u32(word, 0), BOTH probe bits from disjoint 5-bit fields
+    of filter_hash2_u32(word, 0) — so a screen test costs ONE gather
+    instead of two (the screen's gathers were ~30% of a mate-call).
+    False positives only admit a lane into the kernel (which then finds
+    nothing); there are no false negatives.  ~32 bits/key keeps the
+    per-test fp rate well under 1% so a 6-test lane stays below ~3%
+    accidental keep."""
     w = np.asarray(packed16[:max(n_text, 1)], np.uint32)
     bits_log2 = 18
     while (1 << bits_log2) < 32 * len(w) and bits_log2 < max_bits_log2:
         bits_log2 += 1
     m = 1 << bits_log2
-    mask = np.uint32(m - 1)
-    words = np.zeros(m // 32, dtype=np.uint32)
+    wmask = np.uint32(m // 32 - 1)
     zero = np.uint32(0)
-    for h in (mix_hash_u32(w, zero) & mask, filter_hash2_u32(w, zero) & mask):
-        np.bitwise_or.at(
-            words, (h >> np.uint32(5)).astype(np.int64),
-            np.uint32(1) << (h & np.uint32(31)),
-        )
+    wi = mix_hash_u32(w, zero) & wmask
+    h2 = filter_hash2_u32(w, zero)
+    words = np.zeros(m // 32, dtype=np.uint32)
+    np.bitwise_or.at(
+        words, wi.astype(np.int64),
+        (np.uint32(1) << (h2 & np.uint32(31)))
+        | (np.uint32(1) << ((h2 >> np.uint32(5)) & np.uint32(31))),
+    )
     return {"w16_words": words.view(np.int32), "w16_bits": bits_log2}
 
 

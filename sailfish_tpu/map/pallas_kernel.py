@@ -947,6 +947,7 @@ def map_oriented_lanes_pallas(
         fastpath
         and compact_lanes
         and "filtxl_rows" in text_pallas
+        and "sa_ov" in text_pallas
         and os.environ.get("SF_XSCAN", "1") == "1"
         and max_steps >= (L - k + 1)
         and 17 <= k <= 31
@@ -980,6 +981,7 @@ def map_oriented_lanes_pallas(
         (text_pallas.get("pk_rows") if fastpath else None),
         (text_pallas.get("ht16") if fastpath else None),
         (text_pallas.get("filtxl_rows") if xscan else None),
+        (text_pallas.get("sa_ov") if xscan else None),
         k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
@@ -1012,7 +1014,7 @@ def map_oriented_lanes_pallas(
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
-    pk_rows, ht16, filtxl_rows,
+    pk_rows, ht16, filtxl_rows, sa_ov,
     *,
     k: int,
     cand_cap: int,
@@ -1036,16 +1038,32 @@ def _map_lanes_pallas_jit(
     xscan_f: int = 4,
     filtxl_bits: int = 0,
 ):
+    """Oriented-lane mapping: pack-domain lane pipeline (round 4).
+
+    Lanes are carried as ALIGNED 16-base words (B2, WA) u32 plus an
+    N-bitmask — ~30x smaller than the (B2, WINW) code/per-position-word
+    arrays this used to build — so the screen, clean fast path, xscan
+    and both lane compactions run on small arrays.  The full-width
+    code/word arrays the Pallas kernel needs are unpacked (elementwise
+    funnel shifts, no gathers) ONLY for the residual kernel prefix
+    after the second compaction.  See docs/ROADMAP.md round 4."""
     from .kernels import NEG
+    from .xscan import pos_words
 
     B, L = codes.shape
+    B2 = 2 * B
+    # aligned words: enough for pos_words funnels (read + 16-base
+    # lookahead) and for the 8-word fast-path verify; even so the
+    # N-bitmask packs to whole 32-bit words
+    WA = max((L + 15) // 16 + 2, 9)
+    WA = WA + (WA & 1)
+    NB = 16 * WA
 
     # complement arithmetically (A<->T, C<->G, N(4) fixed) — a 5-entry
     # table lookup would be an elementwise gather, slow on TPU
     def compl(x):
         return jnp.where(x < 4, jnp.uint8(3) - x, jnp.uint8(4))
 
-    # oriented lanes, SEP padded to WINW, as i32
     if uniform_len is not None:
         # static flip — no per-element gather
         rc = compl(codes[:, :uniform_len][:, ::-1])
@@ -1058,49 +1076,69 @@ def _map_lanes_pallas_jit(
         src = lens.astype(jnp.int32)[:, None] - 1 - j
         rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
         rc = jnp.where(src >= 0, compl(rc), jnp.uint8(4))
-    oc = jnp.concatenate([codes, rc], axis=0)
-    B2 = 2 * B
-    pad = jnp.full((B2, WINW - L), 4, jnp.uint8)
-    codes_pad = jnp.concatenate([oc, pad], axis=1)
+    oc = jnp.concatenate([codes, rc], axis=0)            # (B2, L) u8
     olens = jnp.concatenate([lens, lens]).astype(jnp.int32)
-    from .encode import _pack_words
 
-    pw_i32 = jax.lax.bitcast_convert_type(
-        _pack_words(codes_pad, sub=0), jnp.int32
-    )
+    # ---- pack-domain lane arrays ----
+    ocp = jnp.concatenate(
+        [oc, jnp.full((B2, NB - L), 4, jnp.uint8)], axis=1
+    )                                                     # (B2, NB)
+    subv = jnp.where(ocp >= 4, jnp.uint8(0), ocp).astype(jnp.uint32)
+    vv = subv.reshape(B2, WA, 16)
+    aw = jnp.zeros((B2, WA), jnp.uint32)
+    for jj in range(16):
+        aw = (aw << jnp.uint32(2)) | vv[:, :, jj]
+    nbv = (ocp >= 4).reshape(B2, NB // 32, 32)
+    nmask = jnp.zeros((B2, NB // 32), jnp.uint32)
+    for jj in range(32):
+        nmask = nmask | (
+            nbv[:, :, jj].astype(jnp.uint32) << jnp.uint32(jj)
+        )
+    colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    has_n = ((oc >= 4) & (colL < olens[:, None])).any(axis=1)
 
     # ---- 16-mer lane screen (semantics-preserving lane skip) ----
     # A quasi-mapping hit needs an exact k-mer seed; a present k-mer
     # implies every contained 16-mer word present in the text.  Testing
     # one word per stride <= k-15 therefore covers every k-mer window:
     # a lane whose tested words are ALL Bloom-absent provably has zero
-    # hits and is fed length 0, so the kernel never activates it.  This
-    # removes the per-position absence sweep for the (typically ~half)
-    # wrong-orientation lanes at the cost of ~L/16 XLA gathers per lane.
-    # Bloom false positives only admit a lane that then finds nothing.
+    # hits and is fed length 0.  Bloom false positives only admit a
+    # lane that then finds nothing.
     klens = olens
     if w16_bits > 0 and L >= 16 and k >= 16 + 1:
         stride = min(16, k - 15)
         ps = list(range(0, L - 16 + 1, stride))
-        pwu = jax.lax.bitcast_convert_type(pw_i32, jnp.uint32)
-        keys = jnp.stack([pwu[:, p] for p in ps], axis=1)  # (B2, T)
-        fm = jnp.uint32((1 << w16_bits) - 1)
-        # mix_hash_u32(key, 0) — must match index/kmerhash.py
+
+        def word_at(p):
+            w, o = p >> 4, p & 15
+            if o == 0:
+                return aw[:, w]
+            return ((aw[:, w] << jnp.uint32(2 * o))
+                    | (aw[:, w + 1] >> jnp.uint32(32 - 2 * o)))
+
+        keys = jnp.stack([word_at(p) for p in ps], axis=1)  # (B2, T)
+        # single-word blocked layout (index/kmerhash.build_word16_bloom):
+        # word index from mix_hash_u32(key, 0), both probe bits from
+        # disjoint 5-bit fields of filter_hash2_u32(key, 0) — ONE
+        # gather per tested position instead of two
+        wm = jnp.uint32((1 << w16_bits) // 32 - 1)
         h1 = keys * jnp.uint32(0x9E3779B1)
         h1 = h1 ^ (h1 >> jnp.uint32(15))
         h1 = h1 * jnp.uint32(0xC2B2AE3D)
-        h1 = (h1 ^ (h1 >> jnp.uint32(13))) & fm
+        h1 = (h1 ^ (h1 >> jnp.uint32(13))) & wm
         # filter_hash2_u32(key, 0)
         h2 = keys * jnp.uint32(0x165667B1)
         h2 = h2 ^ (h2 >> jnp.uint32(16))
         h2 = h2 * jnp.uint32(0x7FEB352D)
-        h2 = (h2 ^ (h2 >> jnp.uint32(11))) & fm
+        h2 = h2 ^ (h2 >> jnp.uint32(11))
 
-        def bit(h):
-            w = w16_rows[(h >> jnp.uint32(5)).astype(jnp.int32)]
-            return (w >> (h & jnp.uint32(31)).astype(jnp.int32)) & 1
-
-        present = (bit(h1) & bit(h2)) == 1
+        v = w16_rows[h1.astype(jnp.int32)]
+        present = (
+            (v >> (h2 & jnp.uint32(31)).astype(jnp.int32))
+            & (v >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)).astype(
+                jnp.int32))
+            & 1
+        ) == 1
         valid = (jnp.asarray(ps, jnp.int32)[None, :] + 16
                  <= olens[:, None])
         keep = jnp.any(present & valid, axis=1)
@@ -1108,174 +1146,227 @@ def _map_lanes_pallas_jit(
 
     # ---- clean-lane fast path ----
     # resolve unique-seed full-length-match lanes entirely in XLA (one
-    # bucket probe + one packed-word verify, all row gathers); their
-    # kernel length drops to 0, so compaction below pushes them into
-    # the dead tail with the screened lanes and the scalar kernel never
-    # sees them
+    # bucket-pair probe + one packed-word verify, all row gathers)
     f_clean = None
     if fastpath:
-        pwu_all = jax.lax.bitcast_convert_type(pw_i32, jnp.uint32)
         f_clean, f_txp, f_pos = _fastpath_clean(
-            codes_pad, pwu_all, klens, ht16, pk_rows,
-            text_rows.reshape(-1),
+            aw, has_n, klens, ht16, pk_rows, text_rows.reshape(-1),
             k=k, ht_bits=ht_bits, ht_probes=ht_probes, n_text=n_text,
         )
         klens = jnp.where(f_clean, 0, klens)
 
-    # ---- lane compaction ----
-    # The screen kills ~half of all lanes (the wrong orientation), but
-    # they are INTERLEAVED with live ones, so nearly every LB-lane
-    # kernel block still iterates with only ~half its DMA slots doing
-    # work.  Sorting live lanes to the front (a) packs blocks full, so
-    # each probe/candidate DMA round amortizes its HBM latency over LB
-    # live lanes instead of ~LB/2, and (b) turns the tail of the grid
-    # into all-dead blocks that exit at the outer while immediately.
-    # Pure XLA row shuffles outside the kernel; outputs are un-permuted
-    # after the post-pass (which is per-lane independent).
-    order = inv = None
-    # postpass=False is the scan-only debug interface: its outputs are
-    # per-input-lane arrays, so compaction (a lane permutation undone
-    # only by the post-pass) must be skipped to keep row <-> read
-    # correspondence
-    if compact_lanes and (w16_bits > 0 or fastpath) and postpass:
-        order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
-        inv = jnp.argsort(order)
-        codes_pad = codes_pad[order]
-        pw_i32 = pw_i32[order]
-        klens = klens[order]
+    C, M = cand_cap, max_mmps
 
-    # ---- vectorized NIP scan over the compacted live prefix ----
-    # handles the residual (error-bearing / multi-candidate <= F) lanes
-    # as dense XLA; lanes it cannot prove exact PUNT to the kernel with
-    # their length intact.  Lanes beyond the prefix (live count above
-    # B2/4 — only possible on screen-less or pathological inputs) fall
-    # through to the kernel automatically.
-    live_pre = klens  # pre-xscan lengths: their live set is a prefix
-    xs = None
     if xscan:
+        # ===== compacted pack-domain path (the production default) ====
+        # first compaction: live lanes to the front; all further stages
+        # run on prefixes.  Gathers move (B2, WA) words + the N-mask —
+        # ~30x less than permuting (B2, WINW) code/word arrays.
+        order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
+        aw_c = aw[order]
+        nm_c = nmask[order]
+        kl_c = klens[order]
+        hn_c = has_n[order]
+
         from .xscan import nip_scan_xla
 
         P = max(B2 // 4, LB)
-        pwu_pfx = jax.lax.bitcast_convert_type(pw_i32[:P], jnp.uint32)
-        colx = jax.lax.broadcasted_iota(jnp.int32, (P, WINW), 1)
-        hn = ((codes_pad[:P] >= 4) & (colx < klens[:P, None])).any(axis=1)
         handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = (
             nip_scan_xla(
-                pwu_pfx, klens[:P], hn,
-                ht16, pk_rows, sa_rows.reshape(-1, 16),
-                text_rows.reshape(-1), filtxl_rows.reshape(-1),
-                k=k, C=cand_cap, M=max_mmps, F=xscan_f, T=xscan_t,
+                aw_c[:P], kl_c[:P], hn_c[:P],
+                ht16, pk_rows, sa_ov, text_rows.reshape(-1),
+                filtxl_rows.reshape(-1),
+                k=k, C=C, M=M, F=xscan_f, T=xscan_t,
                 L_read=min(L, WINR), ht_bits=ht_bits,
                 ht_probes=ht_probes, filt_bits=filtxl_bits,
                 n_text=n_text, skip_jump=skip_jump,
             )
         )
-        klens = klens.at[:P].set(jnp.where(handled, 0, klens[:P]))
-        xs = (handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over)
+        kl_k = kl_c.at[:P].set(jnp.where(handled, 0, kl_c[:P]))
 
-    # ---- dynamic-grid residual kernel ----
-    # After the clean fast path + xscan, typically only a few hundred
-    # punted lanes remain live, yet a static grid still launches
-    # B2/LB blocks whose fixed per-block cost (~5µs dead) dominated the
-    # kernel call (~80ms at a 16k grid).  The first compaction already
-    # packs every lane that was EVER live into the prefix [0, live1) —
-    # xscan only zeroes lanes in place — so launching ceil(live1/LB)
-    # blocks covers every lane the kernel is responsible for, with NO
-    # re-permutation (XLA row gathers of the (B2, 256) lane arrays
-    # measured ~1.6GB/s on v5e: a permutation-based compaction cost
-    # +290ms, far more than it saved).  Rows past the launched blocks
-    # are stale HBM and are masked below.  Interpret mode (CPU tests)
-    # keeps the static grid; the masking runs there too, as identity.
-    dyn = (not interpret) and (order is not None) \
-        and os.environ.get("SF_DYNGRID", "1") == "1"
-    kkw = dict(
-        k=k, cand_cap=cand_cap, max_mmps=max_mmps, max_steps=max_steps,
-        ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
-        n_text=n_text, interpret=interpret, phases=phases,
-        filt_bits=filt_bits, filt_access=filt_access,
-    )
-    codes_i32 = codes_pad.astype(jnp.int32)
-    if not dyn:
-        gtxp, gpin, vld, meta = mmp_scan_pallas(
-            codes_i32, pw_i32, klens,
-            text_rows, sa_rows, ht_rows, filt_rows, **kkw,
+        # ---- second compaction: the kernel residual set ----
+        # xscan leaves ~0.5% of lanes (punts); compacting them lets the
+        # kernel launch ceil(live/LB) blocks instead of a grid sized by
+        # the pre-xscan live count, and the kernel's full-width code /
+        # per-position-word arrays are unpacked for the PK prefix only.
+        # PK = B2 for small batches (tests: no spill path at all);
+        # production prefix B2/4 covers any realistic residual — a
+        # pathological overflow (live residual beyond PK) marks those
+        # fragments overflow, which the escalation pass remaps exactly.
+        PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 4, LB)
+        livek = kl_k > 0
+        live2 = livek.sum().astype(jnp.int32)
+        order2 = jnp.argsort(~livek, stable=True)
+        idx2 = order2[:PK]
+        aw_k = aw_c[idx2]
+        nm_k = nm_c[idx2]
+        kl_kc = kl_k[idx2]
+
+        # unpack kernel lane arrays at the PK prefix only (elementwise
+        # funnel shifts — no gathers)
+        awr = jnp.repeat(aw_k, 16, axis=1)                # (PK, NB)
+        shr = jnp.asarray(
+            (2 * (15 - (np.arange(NB) & 15))).astype(np.uint32)
+        )[None, :]
+        cds = ((awr >> shr) & jnp.uint32(3)).astype(jnp.int32)
+        nmr = jnp.repeat(nm_k, 32, axis=1)
+        shn = jnp.asarray((np.arange(NB) % 32).astype(np.uint32))[None, :]
+        nbit = (nmr >> shn) & jnp.uint32(1)
+        codes_k = jnp.where(nbit == 1, jnp.int32(4), cds)
+        if WINW > NB:
+            codes_k = jnp.concatenate(
+                [codes_k, jnp.full((PK, WINW - NB), 4, jnp.int32)],
+                axis=1,
+            )
+        else:
+            codes_k = codes_k[:, :WINW]
+        npw = min(L + 1, WINW)
+        pw_k = pos_words(aw_k, npw)
+        if WINW > npw:
+            pw_k = jnp.concatenate(
+                [pw_k, jnp.zeros((PK, WINW - npw), jnp.uint32)], axis=1
+            )
+        pw_k = jax.lax.bitcast_convert_type(pw_k, jnp.int32)
+
+        kkw = dict(
+            k=k, cand_cap=C, max_mmps=M, max_steps=max_steps,
+            ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
+            n_text=n_text, interpret=interpret, phases=phases,
+            filt_bits=filt_bits, filt_access=filt_access,
         )
+        dyn = (not interpret) and os.environ.get("SF_DYNGRID", "1") == "1"
+        lv = jnp.minimum(live2, PK) if dyn else None
+        gk_txp, gk_pin, gk_vld, gk_meta = mmp_scan_pallas(
+            codes_k, pw_k, kl_kc,
+            text_rows, sa_rows, ht_rows, filt_rows, lv, **kkw,
+        )
+        # rows past the dynamic grid are stale HBM; dead rows mask out
+        lm2 = (kl_kc > 0)[:, None]
+        gk_txp = jnp.where(lm2, gk_txp, 0)
+        gk_pin = jnp.where(lm2, gk_pin, 0)
+        gk_vld = jnp.where(lm2, gk_vld, 0)
+        gk_meta = jnp.where(lm2, gk_meta, 0)
+
+        # ---- per-prefix postpass + frame-0 scatters ----
+        xt, xp, xv = _intersect_sort(
+            xs_txp, xs_pin, xs_vld, xs_nm, C=C, M=M
+        )
+        kt, kp, kv = _intersect_sort(
+            gk_txp, gk_pin, gk_vld, gk_meta[:, 0], C=C, M=M
+        )
+
+        txp0 = jnp.zeros((B2, C), jnp.int32)
+        pos0 = jnp.zeros((B2, C), jnp.int32)
+        vld0 = jnp.zeros((B2, C), bool)
+        mlen0 = jnp.zeros(B2, jnp.int32)
+        over0 = jnp.zeros(B2, bool)
+        nml0 = jnp.zeros(B2, jnp.int32)
+
+        # xscan rows first (punted rows write partial state, then the
+        # kernel scatter overwrites them — punts are always in the
+        # kernel set)
+        oP = order[:P]
+        txp0 = txp0.at[oP].set(xt)
+        pos0 = pos0.at[oP].set(xp)
+        vld0 = vld0.at[oP].set(xv)
+        mlen0 = mlen0.at[oP].set(xs_mlen)
+        over0 = over0.at[oP].set(xs_over)
+        nml0 = nml0.at[oP].set(xv.sum(axis=1))
+
+        # kernel rows; dead prefix rows redirect out of range (dropped)
+        oK = jnp.where(kl_kc > 0, order[idx2], B2)
+        txp0 = txp0.at[oK].set(kt)
+        pos0 = pos0.at[oK].set(kp)
+        vld0 = vld0.at[oK].set(kv)
+        mlen0 = mlen0.at[oK].set(gk_meta[:, 2])
+        over0 = over0.at[oK].set(gk_meta[:, 1] != 0)
+        nml0 = nml0.at[oK].set(kv.sum(axis=1))
+
+        if PK < B2:
+            # live residual beyond the kernel prefix (pathological —
+            # see PK note): those fragments must not emit partial hits;
+            # mark them overflow so the escalation pass remaps exactly
+            rank1 = jnp.cumsum(livek.astype(jnp.int32)) - 1
+            spill1 = livek & (rank1 >= PK)
+            oS = jnp.where(spill1, order, B2)
+            spill0 = jnp.zeros(B2, bool).at[oS].set(True)
+            vld0 = vld0 & ~spill0[:, None]
+            over0 = over0 | spill0
+            mlen0 = jnp.where(spill0, 0, mlen0)
+            nml0 = jnp.where(spill0, 0, nml0)
+
+        out = {
+            "txp": txp0,
+            "pos": pos0,
+            "valid": vld0,
+            "mlen": mlen0,
+            "overflow": over0,
+            "num_mapped_loci": nml0,
+        }
     else:
-        # count over the PRE-xscan live set (its prefix invariant holds)
-        live1 = (live_pre > 0).sum().astype(jnp.int32)
-        gtxp, gpin, vld, meta = mmp_scan_pallas(
-            codes_i32, pw_i32, klens,
-            text_rows, sa_rows, ht_rows, filt_rows, live1, **kkw,
-        )
-        lm = (live_pre > 0)[:, None]
-        gtxp = jnp.where(lm, gtxp, 0)
-        gpin = jnp.where(lm, gpin, 0)
-        vld = jnp.where(lm, vld, 0)
-        meta = jnp.where(lm, meta, 0)
-    if xs is not None:
-        handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = xs
-        P = xs_txp.shape[0]
-        hm = handled[:, None]
-        gtxp = gtxp.at[:P].set(jnp.where(hm, xs_txp, gtxp[:P]))
-        gpin = gpin.at[:P].set(jnp.where(hm, xs_pin, gpin[:P]))
-        vld = vld.at[:P].set(
-            jnp.where(hm, xs_vld.astype(vld.dtype), vld[:P])
-        )
-        xm = jnp.stack(
-            [xs_nm, xs_over.astype(jnp.int32), xs_mlen,
-             jnp.zeros_like(xs_nm)], axis=1,
-        )
-        meta = meta.at[:P].set(jnp.where(handled[:, None], xm, meta[:P]))
-    if not postpass:  # debug: scan-only timing
-        return {"gtxp": gtxp, "gpin": gpin, "vld": vld, "meta": meta}
-    C, M = cand_cap, max_mmps
-    m_txp = gtxp.reshape(B2, M, C)
-    m_pos = gpin.reshape(B2, M, C)
-    m_vld = vld.reshape(B2, M, C).astype(bool)
-    nm = meta[:, 0]
-    overflow = meta[:, 1].astype(bool)
-    mlen = meta[:, 2]
+        # ===== full-width path (bounded budgets / debug configs) =====
+        pad = jnp.full((B2, WINW - L), 4, jnp.uint8)
+        codes_pad = jnp.concatenate([oc, pad], axis=1)
+        from .encode import _pack_words
 
-    # intersection + dedupe + sort — the kernel already emitted
-    # (transcript, in-transcript position) per candidate, so this is
-    # pure arithmetic + one multi-operand sort: NO element gathers
-    # (XLA TPU gathers run element-at-a-time and dominated this pass)
-    hvalid = m_vld[:, 0, :]
-    htxp = m_txp[:, 0, :]
-    hpos = m_pos[:, 0, :]
-    for m in range(1, M):
-        has_m = nm > m
-        match = (
-            (htxp[:, :, None] == m_txp[:, m, None, :])
-            & (hpos[:, :, None] == m_pos[:, m, None, :])
-            & m_vld[:, m, None, :]
-        ).any(axis=2)
-        hvalid = hvalid & jnp.where(has_m[:, None], match, True)
+        pw_i32 = jax.lax.bitcast_convert_type(
+            _pack_words(codes_pad, sub=0), jnp.int32
+        )
 
-    # lexicographic (valid-txp, pos) sort with payloads riding the sort
-    # network (replaces two argsorts + three random gathers); (txp, pos)
-    # pairs are distinct per lane so stability ties never matter
-    key_t = jnp.where(hvalid, htxp, NEG)
-    _, s_pos, s_txp, s_vld = jax.lax.sort(
-        (key_t, hpos, htxp, hvalid), dimension=1, num_keys=2,
-        is_stable=True,
-    )
-    first = jnp.ones_like(s_vld)
-    first = first.at[:, 1:].set(
-        ~((s_txp[:, 1:] == s_txp[:, :-1]) & s_vld[:, :-1])
-    )
-    s_vld = s_vld & first
+        # ---- lane compaction ----
+        order = inv = None
+        # postpass=False is the scan-only debug interface: its outputs
+        # are per-input-lane arrays, so compaction must be skipped
+        if compact_lanes and (w16_bits > 0 or fastpath) and postpass:
+            order = jnp.argsort(
+                (klens == 0).astype(jnp.int32), stable=True
+            )
+            inv = jnp.argsort(order)
+            codes_pad = codes_pad[order]
+            pw_i32 = pw_i32[order]
+            klens = klens[order]
 
-    out = {
-        "txp": s_txp,
-        "pos": s_pos,
-        "valid": s_vld,
-        "mlen": mlen,
-        "overflow": overflow,
-        "num_mapped_loci": s_vld.sum(axis=1),
-    }
-    if inv is not None:
-        out = {kk: v[inv] for kk, v in out.items()}
+        dyn = (not interpret) and (order is not None) \
+            and os.environ.get("SF_DYNGRID", "1") == "1"
+        kkw = dict(
+            k=k, cand_cap=C, max_mmps=M, max_steps=max_steps,
+            ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
+            n_text=n_text, interpret=interpret, phases=phases,
+            filt_bits=filt_bits, filt_access=filt_access,
+        )
+        codes_i32 = codes_pad.astype(jnp.int32)
+        if not dyn:
+            gtxp, gpin, vld, meta = mmp_scan_pallas(
+                codes_i32, pw_i32, klens,
+                text_rows, sa_rows, ht_rows, filt_rows, **kkw,
+            )
+        else:
+            live1 = (klens > 0).sum().astype(jnp.int32)
+            gtxp, gpin, vld, meta = mmp_scan_pallas(
+                codes_i32, pw_i32, klens,
+                text_rows, sa_rows, ht_rows, filt_rows, live1, **kkw,
+            )
+            lm = (klens > 0)[:, None]
+            gtxp = jnp.where(lm, gtxp, 0)
+            gpin = jnp.where(lm, gpin, 0)
+            vld = jnp.where(lm, vld, 0)
+            meta = jnp.where(lm, meta, 0)
+        if not postpass:  # debug: scan-only timing
+            return {"gtxp": gtxp, "gpin": gpin, "vld": vld, "meta": meta}
+        s_txp, s_pos, s_vld = _intersect_sort(
+            gtxp, gpin, vld, meta[:, 0], C=C, M=M
+        )
+        out = {
+            "txp": s_txp,
+            "pos": s_pos,
+            "valid": s_vld,
+            "mlen": meta[:, 2],
+            "overflow": meta[:, 1].astype(bool),
+            "num_mapped_loci": s_vld.sum(axis=1),
+        }
+        if inv is not None:
+            out = {kk: v2[inv] for kk, v2 in out.items()}
+
     if f_clean is not None:
         # splice fast-resolved lanes: one hit in slot 0 (matches the
         # sorted postpass convention — a single valid hit lands first,
@@ -1295,12 +1386,47 @@ def _map_lanes_pallas_jit(
     return out
 
 
+def _intersect_sort(gtxp, gpin, vld, nm, *, C: int, M: int):
+    """MMP-slot intersection + dedupe + (txp, pos) sort — the shared
+    post-pass over any row prefix.  Pure arithmetic + ONE multi-operand
+    lexicographic sort (payloads ride the sort network; no gathers)."""
+    from .kernels import NEG
+
+    R = gtxp.shape[0]
+    m_txp = gtxp.reshape(R, M, C)
+    m_pos = gpin.reshape(R, M, C)
+    m_vld = vld.reshape(R, M, C).astype(bool)
+    hvalid = m_vld[:, 0, :]
+    htxp = m_txp[:, 0, :]
+    hpos = m_pos[:, 0, :]
+    for m in range(1, M):
+        has_m = nm > m
+        match = (
+            (htxp[:, :, None] == m_txp[:, m, None, :])
+            & (hpos[:, :, None] == m_pos[:, m, None, :])
+            & m_vld[:, m, None, :]
+        ).any(axis=2)
+        hvalid = hvalid & jnp.where(has_m[:, None], match, True)
+
+    key_t = jnp.where(hvalid, htxp, NEG)
+    _, s_pos, s_txp, s_vld = jax.lax.sort(
+        (key_t, hpos, htxp, hvalid), dimension=1, num_keys=2,
+        is_stable=True,
+    )
+    first = jnp.ones_like(s_vld)
+    first = first.at[:, 1:].set(
+        ~((s_txp[:, 1:] == s_txp[:, :-1]) & s_vld[:, :-1])
+    )
+    s_vld = s_vld & first
+    return s_txp, s_pos, s_vld
+
+
 def _fastpath_clean(
-    codes_pad,   # (B2, WINW) u8 oriented lane codes, SEP padded
-    pwu,         # (B2, WINW) u32 packed lane words (A-substituted)
+    aw,          # (B2, WA) u32 ALIGNED lane words (A-substituted)
+    has_n,       # (B2,) bool — lane contains a non-ACGT code in [0, len)
     klens,       # (B2,) i32 post-screen lane lengths
     ht16,        # (S, 16) i32 bucket rows [k0 x4|k1 x4|lo x4|cnt x4]
-    pk_rows,     # (Rw, 16) i32 [8 aligned text words | 8 special flags]
+    pk_rows,     # (Rw, 32) i32 OVERLAPPED [16 words | 16 flags] stride 8
     text_flat,   # (3*Rt*128,) i32 flat view of the FUSED text rows
     *,
     k: int,
@@ -1318,25 +1444,30 @@ def _fastpath_clean(
     unique-seed reads (the majority of a typical run) this removes the
     per-lane scalar orchestration entirely.
 
-    Exactness: every condition is conservative — probe chains longer
-    than two buckets, multi-candidate seeds, reads containing non-ACGT
-    codes, and text windows touching a special (N / separator /
-    text-end) 16-base word all fall through to the kernel, which
-    recomputes from scratch.  For accepted lanes the packed-word
-    compare equals the kernel's true-code compare because both sides
-    are then pure ACGT.
+    Gather economy: ONE bucket-pair row gather (ht16 viewed (S/2, 32))
+    resolves probe h1 always and probe h1+1 when h1 is even; odd-h1
+    chained keys simply fall through to the scan paths (conservative).
+    ONE overlapped pk_rows gather serves the 9-word verify window.
+
+    Exactness: every condition is conservative — unresolved probes,
+    multi-candidate seeds, reads containing non-ACGT codes, and text
+    windows touching a special (N / separator / text-end) 16-base word
+    all fall through to the scan paths, which recompute from scratch.
+    For accepted lanes the packed-word compare equals the true-code
+    compare because both sides are then pure ACGT.
 
     Returns (clean, txp, pos): clean (B2,) bool; txp/pos valid where
     clean (the single hit, pos already in-transcript at query offset
     0)."""
     U32 = jnp.uint32
-    B2 = codes_pad.shape[0]
+    B2 = aw.shape[0]
     hmask = jnp.int32((1 << ht_bits) - 1)
     S = ht16.shape[0]
+    ht32 = ht16.reshape(S // 2, 32)
     Rw = pk_rows.shape[0]
 
-    k0 = pwu[:, 0]
-    k1 = pwu[:, 16] >> U32(2 * (32 - k))
+    k0 = aw[:, 0]
+    k1 = aw[:, 1] >> U32(2 * (32 - k))
     # index/kmerhash.mix_hash_u32
     h = (k0 * U32(0x9E3779B1)) ^ (k1 * U32(0x85EBCA77))
     h = h ^ (h >> U32(15))
@@ -1346,37 +1477,41 @@ def _fastpath_clean(
     k0i = jax.lax.bitcast_convert_type(k0, jnp.int32)
     k1i = jax.lax.bitcast_convert_type(k1, jnp.int32)
 
-    def bucket_probe(hb):
-        row = ht16[jnp.clip(hb, 0, S - 1)]              # (B2, 16)
-        m = ((row[:, 12:16] > 0)
-             & (row[:, 0:4] == k0i[:, None])
-             & (row[:, 4:8] == k1i[:, None]))
+    row = ht32[jnp.clip(h1 >> 1, 0, S // 2 - 1)]        # (B2, 32)
+    odd = (h1 & 1) == 1
+
+    def bucket16(row16):
+        m = ((row16[:, 12:16] > 0)
+             & (row16[:, 0:4] == k0i[:, None])
+             & (row16[:, 4:8] == k1i[:, None]))
         found = m.any(axis=1)
-        lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
-        cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
-        has_empty = (row[:, 12:16] == 0).any(axis=1)
+        lo = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
+        cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
+        has_empty = (row16[:, 12:16] == 0).any(axis=1)
         return found, lo, cnt, has_empty
 
-    f1, lo1, c1, e1 = bucket_probe(h1)
-    f2, lo2, c2, _ = bucket_probe((h1 + 1) & hmask)
+    b0 = jnp.where(odd[:, None], row[:, 16:], row[:, :16])
+    f1, lo1, c1, e1 = bucket16(b0)
     if ht_probes >= 2:
-        found = f1 | (~e1 & f2)
+        # bucket h1+1 is resident only for even h1; odd chained keys
+        # fall through (conservative: they take the scan paths)
+        f2, lo2, c2, _ = bucket16(row[:, 16:])
+        avail2 = ~odd & (h1 + 1 < S)
+        found = f1 | (avail2 & ~e1 & f2)
     else:
+        f2 = jnp.zeros(B2, bool)
+        lo2 = c2 = jnp.zeros(B2, jnp.int32)
         found = f1
     cnt = jnp.where(f1, c1, c2)
     p = jnp.where(f1, lo1, lo2)  # direct text position when cnt == 1
 
-    col = jax.lax.broadcasted_iota(jnp.int32, codes_pad.shape, 1)
-    has_n = ((codes_pad >= 4) & (col < klens[:, None])).any(axis=1)
     active = (klens >= k) & ~has_n & found & (cnt == 1)
 
     pc = jnp.clip(p, 0, n_text - 1)
     w0 = pc >> 4
-    r0 = w0 >> 3
-    ra = pk_rows[jnp.clip(r0, 0, Rw - 1)]               # (B2, 16)
-    rb = pk_rows[jnp.clip(r0 + 1, 0, Rw - 1)]
-    words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
-    spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
+    # overlapped pk rows: the 9-word window at offset w0 & 7 sits in
+    # ONE row (row r covers words 8r..8r+15)
+    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (B2, 32)
     d = w0 & 7
 
     def select9(mat):
@@ -1385,17 +1520,17 @@ def _fastpath_clean(
             out = jnp.where((d == dd)[:, None], mat[:, dd : dd + 9], out)
         return out
 
-    W9 = jax.lax.bitcast_convert_type(select9(words16), jnp.uint32)
-    S9 = select9(spec16)
+    W9 = jax.lax.bitcast_convert_type(select9(ra[:, :16]), jnp.uint32)
+    S9 = select9(ra[:, 16:])
     o = pc & 15
     sh = (o * 2).astype(jnp.uint32)[:, None]
-    aw = jnp.where(
+    awin = jnp.where(
         (o == 0)[:, None],
         W9[:, 0:8],
         (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
     )                                                    # (B2, 8)
-    rw = pwu[:, 0:128:16]                                # (B2, 8)
-    x = aw ^ rw
+    rw = aw[:, 0:8]                                      # (B2, 8)
+    x = awin ^ rw
     # leading equal bases per word (earliest base in the MSBs)
     sm = x
     for b in (1, 2, 4, 8, 16):
@@ -1471,11 +1606,15 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
         w16_rows, w16_bits = np.zeros(8, np.int32), 0
     ht_rows_np = pack_kmer_table_rows(index.kmer_ht, sa=index.sa)
 
-    # ---- clean-lane fast-path arrays (_fastpath_clean) ----
-    # aligned 16-base text words (packed16 strided to 16-aligned
-    # starts) + per-word special flags (word touches N / separator /
-    # text end), packed [8 words | 8 flags] per row so one row gather
-    # serves both
+    # ---- clean-lane fast-path arrays (_fastpath_clean / xscan) ----
+    # OVERLAPPED aligned 16-base text words + per-word special flags
+    # (word touches N / separator / text end): row r covers words
+    # [8r, 8r+16) as [16 words | 16 flags], so ANY 9-word verify window
+    # (offset w0 & 7) lives in ONE row gather.  2x the non-overlapped
+    # footprint — pk rows are ~n/16 words, so this stays small next to
+    # the fused text rows.
+    from numpy.lib.stride_tricks import sliding_window_view
+
     n16 = -(-n // 16)
     aligned = np.zeros(n16, dtype=np.uint32)
     aligned[:] = np.asarray(index.packed16, np.uint32)[: 16 * n16 : 16][:n16]
@@ -1485,13 +1624,27 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     specpos[n:] = True  # text-end padding counts as special
     spec_word = specpos.reshape(n16, 16).any(axis=1).astype(np.int32)
     rw_rows = -(-n16 // 8) + 2
-    wpad = np.zeros(rw_rows * 8, dtype=np.uint32)
-    spad = np.ones(rw_rows * 8, dtype=np.int32)  # pad rows: special
+    wpad = np.zeros(rw_rows * 8 + 16, dtype=np.uint32)
+    spad = np.ones(rw_rows * 8 + 16, dtype=np.int32)  # pad rows: special
     wpad[:n16] = aligned
     spad[:n16] = spec_word
+    w16s = np.ascontiguousarray(
+        sliding_window_view(wpad, 16)[::8][:rw_rows]
+    )
+    s16s = np.ascontiguousarray(
+        sliding_window_view(spad, 16)[::8][:rw_rows]
+    )
     pk_rows = np.concatenate(
-        [wpad.view(np.int32).reshape(-1, 8), spad.reshape(-1, 8)], axis=1
-    )  # (Rw, 16)
+        [w16s.view(np.int32), s16s], axis=1
+    )  # (Rw, 32)
+    # OVERLAPPED SA rows for the xscan candidate slice: row r covers
+    # SA[16r, 16r+24), so any (lo & 15) + F <= 24 window is ONE gather
+    rs16 = -(-n // 16) + 2
+    sa_pad = np.full(rs16 * 16 + 24, n - 1, dtype=np.int32)
+    sa_pad[:n] = index.sa
+    sa_ov = np.ascontiguousarray(
+        sliding_window_view(sa_pad, 24)[::16][:rs16]
+    )  # (Rs, 24)
     S = index.kmer_ht["ht_lo"].shape[0]
     ht16 = ht_rows_np[: S // 8].reshape(S, 16)
     return {
@@ -1503,6 +1656,7 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
         "pk_rows": jnp.asarray(pk_rows),
         "ht16": jnp.asarray(ht16),
         "filtxl_rows": jnp.asarray(bloom_xl["filt_rows"]),
+        "sa_ov": jnp.asarray(sa_ov),
         "n_text": n,
         "filt_bits": bloom["filt_bits_log2"],
         "filtxl_bits": bloom_xl["filt_bits_log2"],

@@ -603,11 +603,36 @@ class DeviceMapperBackend:
         key = (expected.format_id(), ul1, ul2, L1, L2)
         fn = self._pe_steps.get(key)
         if fn is None:
+            # mate fusion: when both mates share a padded width, map
+            # them in ONE _map_lanes call (rows: [m1; m2] x [fwd; rc]).
+            # Halves the per-step fixed costs (lane compaction, scan
+            # phases, kernel launch, dispatch) AND halves the traced
+            # mapping graph — the mapping subgraph appears once in the
+            # fused step instead of twice, which cuts compile time.
+            fuse = L1 == L2
+
             def step(text, bias_text, p1, n1, l1, p2, n2, l2):
                 c1 = _unpack_reads(p1, n1, L1)
                 c2 = _unpack_reads(p2, n2, L2)
-                h1 = self._map_lanes(c1, l1, uniform_len=ul1, text=text)
-                h2 = self._map_lanes(c2, l2, uniform_len=ul2, text=text)
+                if fuse:
+                    B = c1.shape[0]
+                    cc = jnp.concatenate([c1, c2], axis=0)
+                    ll = jnp.concatenate([l1, l2])
+                    uf = ul1 if ul1 == ul2 else None
+                    fw, rc = self._map_lanes(cc, ll, uniform_len=uf,
+                                             text=text)
+
+                    def part(d, sl):
+                        return {k: v[sl] for k, v in d.items()}
+
+                    h1 = (part(fw, slice(0, B)), part(rc, slice(0, B)))
+                    h2 = (part(fw, slice(B, 2 * B)),
+                          part(rc, slice(B, 2 * B)))
+                else:
+                    h1 = self._map_lanes(c1, l1, uniform_len=ul1,
+                                         text=text)
+                    h2 = self._map_lanes(c2, l2, uniform_len=ul2,
+                                         text=text)
                 return self._tail(h1, h2, l1, l2, expected,
                                   paired_end=True, bias_text=bias_text)
 

@@ -11,16 +11,29 @@ packed-word LCP verify, hit recording, NIP advance) is a row gather or
 elementwise op across all lanes at once, so per-lane cost is VPU work
 instead of microseconds of serialized scalar work.
 
-Two-phase schedule (round 4): most lanes that reach this scan finish in
-1-3 probe events (one MMP to the error, a Bloom-guided jump past it,
-one MMP to the read end), so iterating the full lane prefix T times
-wastes most of the work.  Phase A runs T1 events at full width P; the
-still-active lanes are then compacted to a P//4 prefix and phase B runs
-the remaining T-T1 events there.  Both phases are lax.scan loops (ONE
+Gather economy (round 4 — everything here is gather-bound, measured
+~13M rows/s on v5e regardless of row width up to 32):
+  * lanes arrive as ALIGNED 16-base words (P, WA) — per-position keys
+    are derived by funnel shifts (VPU), not carried as (P, 256) arrays
+  * hash probes fetch BUCKET-PAIR rows: ht16 reshaped (S/2, 32) gives
+    buckets {2r, 2r+1} per row, so a 4-deep probe chain costs 2 row
+    gathers instead of 4; chains that walk outside the fetched pair
+    window PUNT (rare: chains >= 3 starting at an odd bucket)
+  * the packed-text verify reads OVERLAPPED pk_rows (stride 8, 16
+    words + 16 flags per row): any 9-word window lives in ONE row
+  * SA slices read OVERLAPPED sa_ov rows (stride 16, width 24): any
+    (lo & 15) + F <= 24 window lives in ONE row
+
+Two-phase schedule: most lanes that reach this scan finish in 1-3
+probe events (one MMP to the error, a Bloom-guided jump past it, one
+MMP to the read end), so iterating the full lane prefix T times wastes
+most of the work.  Phase A runs T1 events at full width P; the still-
+active lanes are then compacted to a P//4 prefix and phase B runs the
+remaining T-T1 events there.  Both phases are lax.scan loops (ONE
 traced body each instead of T unrolled copies — the unrolled form
-dominated XLA compile time of the fused production step).  Active lanes
-that overflow the phase-B prefix PUNT to the Pallas kernel, so the
-shrink is semantics-free.
+dominated XLA compile time of the fused production step).  Active
+lanes that overflow the phase-B prefix PUNT to the Pallas kernel, so
+the shrink is semantics-free.
 
 Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
   * presence: the index's single-word k-mer Bloom — a negative PROVES
@@ -29,8 +42,9 @@ Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
     the budget never binds, so WHICH sound absence proof fires is
     unobservable); a false positive probes the table and misses, also
     advancing by 1 — identical outcomes
-  * probes resolve within the builder's ht_probes chain bound — an
-    unresolved chain (only possible when ht_probes > 8) PUNTS
+  * probes resolve within the fetched bucket-pair window — an
+    unresolved chain PUNTS (includes ht_probes > 4, wrap-around, and
+    odd-start chains needing the 4th bucket)
   * candidate intervals: cnt == 1 uses the direct text position the
     hash row stores; 2 <= cnt <= F slices the SA; cnt > C sets the
     overflow flag and advances (reference-parity no-hit);
@@ -80,6 +94,83 @@ def _select_w(mat, d, out_w):
     return out
 
 
+def pos_words(aw, npos: int):
+    """(P, WA) aligned words -> (P, npos) per-position 16-base words via
+    funnel shifts: word(j) = aw[j>>4] << 2(j&15) | aw[j>>4 + 1] >> ...
+    (pure VPU — replaces carrying a (P, 256) per-position array)."""
+    import numpy as np
+
+    P, WA = aw.shape
+    nw = (npos + 15) >> 4
+    lo = jnp.repeat(aw[:, :nw], 16, axis=1)[:, :npos]
+    hi = jnp.repeat(aw[:, 1 : nw + 1], 16, axis=1)[:, :npos]
+    sh = jnp.asarray(
+        (2 * (np.arange(npos) & 15)).astype(np.uint32))[None, :]
+    return jnp.where(sh == 0, lo, (lo << sh) | (hi >> (U32(32) - sh)))
+
+
+def probe_pairrows(ht32, h1, k0i, k1i, *, ht_bits: int, ht_probes: int):
+    """Full probe-chain resolution from TWO bucket-pair row gathers.
+
+    ht32 is the (S, 16) bucket table viewed as (S//2, 32): row r holds
+    buckets {2r, 2r+1}.  Rows h1>>1 and h1>>1 + 1 cover chain offsets
+    0..3 for even h1 and 0..2 for odd h1.  Chains that continue past
+    the covered window (or wrap past the table end) return unresolved
+    — the caller punts those lanes, which is always semantics-free.
+
+    Returns (found, lo, cnt, miss, unresolved)."""
+    P = h1.shape[0]
+    S2 = ht32.shape[0]
+    S = 2 * S2
+    p0 = jnp.clip(h1 >> 1, 0, S2 - 1)
+    rowA = ht32[p0]
+    rowB = ht32[jnp.clip(p0 + 1, 0, S2 - 1)]
+    odd = (h1 & 1) == 1
+
+    def bucket16(row16):
+        m = ((row16[:, 12:16] > 0)
+             & (row16[:, 0:4] == k0i[:, None])
+             & (row16[:, 4:8] == k1i[:, None]))
+        found = m.any(axis=1)
+        lo = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
+        cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
+        empty = (row16[:, 12:16] == 0).any(axis=1)
+        return found, lo, cnt, empty
+
+    # chain offset a -> bucket slice: even h1 = [A0, A1, B0, B1],
+    # odd h1 = [A1, B0, B1, <unfetched>]
+    evn = (rowA[:, :16], rowA[:, 16:], rowB[:, :16], rowB[:, 16:])
+    odds = (rowA[:, 16:], rowB[:, :16], rowB[:, 16:], None)
+    nprobe = min(ht_probes, 4)
+    found = jnp.zeros(P, bool)
+    stopped = jnp.zeros(P, bool)
+    unres = jnp.zeros(P, bool)
+    lo = jnp.zeros(P, I32)
+    cnt = jnp.zeros(P, I32)
+    for a in range(nprobe):
+        if odds[a] is None:
+            row16 = evn[a]
+            avail = ~odd
+        else:
+            row16 = jnp.where(odd[:, None], odds[a], evn[a])
+            avail = jnp.ones(P, bool)
+        avail = avail & (h1 + a < S)
+        fa, loa, ca, ea = bucket16(row16)
+        live = ~stopped & ~unres & ~found
+        unres = unres | (live & ~avail)
+        newly = live & avail & fa
+        lo = jnp.where(newly, loa, lo)
+        cnt = jnp.where(newly, ca, cnt)
+        found = found | newly
+        stopped = stopped | (avail & ea & ~fa & live)
+    if ht_probes <= 4:
+        miss = ~found & ~unres
+    else:
+        miss = ~found & stopped & ~unres
+        unres = unres | (~found & ~stopped & ~unres)
+    return found, lo, cnt, miss, unres
+
+
 def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
                 n_text, skip_jump, npos):
     """One probe event for every lane: Bloom-guided advance to the next
@@ -88,14 +179,11 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
     arrays so the caller can run this under lax.scan."""
     i, nm, mlen, over, punt, gtxp, gpin, vld = state
     k0a, k1a, nxt, rw, lens = lane
-    ht16, pk_rows, sa16, text_flat = tables
+    ht32, pk_rows, sa_ov, text_flat = tables
     P = i.shape[0]
-    hmask = I32((1 << ht_bits) - 1)
-    S = ht16.shape[0]
     Rw = pk_rows.shape[0]
-    Rs16 = sa16.shape[0]
+    Rs = sa_ov.shape[0]
     fcols = jnp.arange(F, dtype=I32)[None, :]
-    wi8 = jnp.arange(8, dtype=I32)[None, :]
     wi9 = jnp.arange(9, dtype=I32)[None, :]
 
     act0 = (i + k <= lens) & (nm < M) & ~punt
@@ -108,53 +196,22 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
     act = act0 & ~no_more
     jc = jnp.where(act, j, 0)
 
-    # ---- probe (full chain, kernel/oracle-identical resolution) ----
+    # ---- probe (bucket-pair rows; unresolved chains punt) ----
     k0 = jnp.take_along_axis(k0a, jc[:, None], axis=1)[:, 0]
     k1 = jnp.take_along_axis(k1a, jc[:, None], axis=1)[:, 0]
+    hmask = I32((1 << ht_bits) - 1)
     h1 = _mix_u32(k0, k1).astype(I32) & hmask
     k0i = jax.lax.bitcast_convert_type(k0, I32)
     k1i = jax.lax.bitcast_convert_type(k1, I32)
-
-    def bucket(hb):
-        row = ht16[jnp.clip(hb, 0, S - 1)]
-        m = ((row[:, 12:16] > 0)
-             & (row[:, 0:4] == k0i[:, None])
-             & (row[:, 4:8] == k1i[:, None]))
-        found = m.any(axis=1)
-        lo = jnp.where(m, row[:, 8:12], 0).sum(axis=1)
-        cnt = jnp.where(m, row[:, 12:16], 0).sum(axis=1)
-        empty = (row[:, 12:16] == 0).any(axis=1)
-        return found, lo, cnt, empty
-
-    # full probe-chain unroll (the builder bounds chains at ht_probes,
-    # so every probe resolves exactly: a bucket with an empty slot
-    # before a match, or chain exhaustion, is a definitive miss — same
-    # rule as the kernel's resolve_probe)
-    nprobe = min(ht_probes, 8)
-    found = jnp.zeros(P, bool)
-    stopped = jnp.zeros(P, bool)
-    lo = jnp.zeros(P, I32)
-    cnt = jnp.zeros(P, I32)
-    for a in range(nprobe):
-        fa, loa, ca, ea = bucket((h1 + a) & hmask)
-        newly = ~stopped & fa
-        lo = jnp.where(newly, loa, lo)
-        cnt = jnp.where(newly, ca, cnt)
-        found = found | newly
-        stopped = stopped | fa | ea
-    if ht_probes <= 8:
-        miss = ~found
-        unresolved = jnp.zeros(P, bool)
-    else:
-        miss = ~found & stopped
-        unresolved = ~found & ~stopped
+    found, lo, cnt, miss, unresolved = probe_pairrows(
+        ht32, h1, k0i, k1i, ht_bits=ht_bits, ht_probes=ht_probes)
 
     # ---- candidate positions ----
     single = found & (cnt == 1)
     multi = found & (cnt > 1) & (cnt <= F)
-    srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs16 - 2)
-    sa32 = jnp.concatenate([sa16[srow], sa16[srow + 1]], axis=1)
-    pf = _select_w(sa32, jnp.where(multi, lo & 15, 0), F)
+    srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs - 1)
+    sa24 = sa_ov[srow]                              # (P, 24)
+    pf = _select_w(sa24, jnp.where(multi, lo & 15, 0), F)
     p = jnp.where(single[:, None],
                   jnp.broadcast_to(lo[:, None], (P, F)), pf)
     ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
@@ -172,14 +229,12 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
     for f in range(F):
         gf = gc[:, f]
         w0 = gf >> 4
-        r0 = jnp.clip(w0 >> 3, 0, Rw - 2)
-        ra = pk_rows[r0]
-        rb = pk_rows[r0 + 1]
-        words16 = jnp.concatenate([ra[:, :8], rb[:, :8]], axis=1)
-        spec16 = jnp.concatenate([ra[:, 8:], rb[:, 8:]], axis=1)
+        # overlapped pk rows: row r holds words 8r..8r+15 (+ flags),
+        # so the 9-word window at offset w0 & 7 sits in ONE row
+        ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]   # (P, 32)
         W9 = jax.lax.bitcast_convert_type(
-            _select_w(words16, w0 & 7, 9), U32)
-        S9 = _select_w(spec16, w0 & 7, 9)
+            _select_w(ra[:, :16], w0 & 7, 9), U32)
+        S9 = _select_w(ra[:, 16:], w0 & 7, 9)
         o = gf & 15
         sh = (o * 2).astype(U32)[:, None]
         aw = jnp.where(
@@ -190,6 +245,7 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
         x = aw ^ rw
         # ignore compare columns < j: zero the leading (j - 16*wi)
         # bases of each word (earliest base sits in the MSBs)
+        wi8 = jnp.arange(8, dtype=I32)[None, :]
         lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
         keep = jnp.where(
             lead >= 16, U32(0),
@@ -258,12 +314,12 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
 
 
 def nip_scan_xla(
-    pwu,         # (P, W) u32 packed lane words (A-substituted)
+    aw,          # (P, WA) u32 ALIGNED 16-base lane words (A-substituted)
     lens,        # (P,) i32 lane lengths (0 = dead/already handled)
     has_n,       # (P,) bool — lane contains a non-ACGT code in [0, len)
     ht16,        # (S, 16) i32 bucket rows [k0 x4|k1 x4|lo x4|cnt x4]
-    pk_rows,     # (Rw, 16) i32 [8 aligned text words | 8 special flags]
-    sa16,        # (Rs16, 16) i32 SA values, 16-aligned row view
+    pk_rows,     # (Rw, 32) i32 OVERLAPPED [16 words | 16 flags], stride 8
+    sa_ov,       # (Rs, 24) i32 OVERLAPPED SA rows, stride 16
     text_flat,   # flat i32 view of the fused text rows (identity source)
     filt_flat,   # (Fw,) i32 flat k-mer Bloom words (single-word layout)
     *,
@@ -283,14 +339,14 @@ def nip_scan_xla(
     """Returns (handled, gtxp (P, M*C), gpin, vld, nm, mlen, over):
     `handled` lanes carry complete, exact scan results; others must go
     to the Pallas kernel."""
-    P = pwu.shape[0]
+    P = aw.shape[0]
     npos = L_read - k + 1
     fmask = I32((1 << filt_bits) - 1)
     shift_k1 = U32(2 * (32 - k))
 
     # ---- per-position keys + Bloom presence (one word per test) ----
-    k0a = pwu[:, :npos]
-    k1a = pwu[:, 16 : 16 + npos] >> shift_k1
+    k0a = pos_words(aw, npos)
+    k1a = pos_words(aw[:, 1:], npos) >> shift_k1
     h1a = _mix_u32(k0a, k1a)
     h2a = _mix2_u32(k0a, k1a)
     wid = h1a.astype(I32) & (fmask >> 5)
@@ -303,11 +359,12 @@ def nip_scan_xla(
         jnp.where(pres, posi, _BIG), axis=1, reverse=True
     )  # (P, npos): next present position >= i
 
-    rw = pwu[:, 0 : 16 * 8 : 16]  # (P, 8) read words at cols 0,16,..,112
+    rw = aw[:, 0:8]  # (P, 8) read words at positions 0, 16, .., 112
 
+    ht32 = ht16.reshape(-1, 32)
     kw = dict(k=k, C=C, M=M, F=F, ht_bits=ht_bits, ht_probes=ht_probes,
               n_text=n_text, skip_jump=skip_jump, npos=npos)
-    tables = (ht16, pk_rows, sa16, text_flat)
+    tables = (ht32, pk_rows, sa_ov, text_flat)
 
     def scan_phase(state, lane, steps):
         def body(st, _):

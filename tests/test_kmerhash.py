@@ -83,17 +83,18 @@ def test_word16_bloom_no_false_negatives(toy_world):
     idx = toy_world["idx"]
     bl = build_word16_bloom(idx.packed16, idx.text_len)
     words = bl["w16_words"].view(np.uint32)
-    mask = np.uint32((1 << bl["w16_bits"]) - 1)
+    wmask = np.uint32((1 << bl["w16_bits"]) // 32 - 1)
 
     def present(w):
+        # single-word layout: word index from mix_hash, both bits from
+        # filter_hash2 fields (must match the lane screen's jnp probe)
         w = np.asarray(w, np.uint32)
-        ok = np.ones(w.shape, bool)
-        for h in (mix_hash_u32(w, np.uint32(0)) & mask,
-                  filter_hash2_u32(w, np.uint32(0)) & mask):
-            bit = (words[(h >> np.uint32(5)).astype(np.int64)]
-                   >> (h & np.uint32(31))) & np.uint32(1)
-            ok &= bit == 1
-        return ok
+        wi = mix_hash_u32(w, np.uint32(0)) & wmask
+        h2 = filter_hash2_u32(w, np.uint32(0))
+        v = words[wi.astype(np.int64)]
+        b1 = (v >> (h2 & np.uint32(31))) & np.uint32(1)
+        b2 = (v >> ((h2 >> np.uint32(5)) & np.uint32(31))) & np.uint32(1)
+        return (b1 & b2) == 1
 
     # every true text word must be present (the lane screen's safety)
     assert present(idx.packed16[: idx.text_len]).all()
