@@ -953,8 +953,13 @@ def map_oriented_lanes_pallas(
         and 17 <= k <= 31
         and fb > 0
     )
-    xscan_t = int(os.environ.get("SF_XSCAN_T", "6"))
+    # T=7: the light phase A can spend an event deferring a chained /
+    # multi-candidate probe to phase B, so error lanes need one more
+    # event than the old all-full schedule
+    xscan_t = int(os.environ.get("SF_XSCAN_T", "7"))
     xscan_f = min(int(os.environ.get("SF_XSCAN_F", "4")), 8, cand_cap)
+    xscan_t1 = int(os.environ.get("SF_XSCAN_T1", "2"))
+    xscan_p2 = int(os.environ.get("SF_XSCAN_P2", "2"))
     # Workaround for a jax executable-reuse bug: calling the jitted
     # wrapper with a DIFFERENT index whose arrays have identical shapes
     # (new process-global arrays, same avals/statics) can hit a cached
@@ -997,6 +1002,8 @@ def map_oriented_lanes_pallas(
         xscan=xscan,
         xscan_t=xscan_t,
         xscan_f=xscan_f,
+        xscan_t1=xscan_t1,
+        xscan_p2=xscan_p2,
         filtxl_bits=(
             (filtxl_bits if filtxl_bits is not None
              else text_pallas.get("filtxl_bits", 0)) if xscan else 0),
@@ -1010,7 +1017,7 @@ def map_oriented_lanes_pallas(
                      "phases", "postpass", "uniform_len", "filt_bits",
                      "filt_access", "w16_bits", "compact_lanes",
                      "fastpath", "xscan", "xscan_t", "xscan_f",
-                     "filtxl_bits"),
+                     "xscan_t1", "xscan_p2", "filtxl_bits"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
@@ -1034,8 +1041,10 @@ def _map_lanes_pallas_jit(
     compact_lanes: bool = True,
     fastpath: bool = False,
     xscan: bool = False,
-    xscan_t: int = 6,
+    xscan_t: int = 7,
     xscan_f: int = 4,
+    xscan_t1: int = 2,
+    xscan_p2: int = 2,
     filtxl_bits: int = 0,
 ):
     """Oriented-lane mapping: pack-domain lane pipeline (round 4).
@@ -1163,23 +1172,26 @@ def _map_lanes_pallas_jit(
         # run on prefixes.  Gathers move (B2, WA) words + the N-mask —
         # ~30x less than permuting (B2, WINW) code/word arrays.
         order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
-        aw_c = aw[order]
-        nm_c = nmask[order]
         kl_c = klens[order]
-        hn_c = has_n[order]
+        P = max(B2 // 4, LB)
+        oP = order[:P]
+        # gather lane words only for the prefixes that use them (the
+        # xscan prefix here, the kernel prefix below) — not full-width
+        aw_p = aw[oP]
+        hn_p = has_n[oP]
 
         from .xscan import nip_scan_xla
 
-        P = max(B2 // 4, LB)
         handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = (
             nip_scan_xla(
-                aw_c[:P], kl_c[:P], hn_c[:P],
+                aw_p, kl_c[:P], hn_p,
                 ht16, pk_rows, sa_ov, text_rows.reshape(-1),
                 filtxl_rows.reshape(-1),
                 k=k, C=C, M=M, F=xscan_f, T=xscan_t,
                 L_read=min(L, WINR), ht_bits=ht_bits,
                 ht_probes=ht_probes, filt_bits=filtxl_bits,
                 n_text=n_text, skip_jump=skip_jump,
+                T1=xscan_t1, P2_div=xscan_p2,
             )
         )
         kl_k = kl_c.at[:P].set(jnp.where(handled, 0, kl_c[:P]))
@@ -1193,13 +1205,14 @@ def _map_lanes_pallas_jit(
         # production prefix B2/4 covers any realistic residual — a
         # pathological overflow (live residual beyond PK) marks those
         # fragments overflow, which the escalation pass remaps exactly.
-        PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 4, LB)
+        PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 8, LB)
         livek = kl_k > 0
         live2 = livek.sum().astype(jnp.int32)
         order2 = jnp.argsort(~livek, stable=True)
         idx2 = order2[:PK]
-        aw_k = aw_c[idx2]
-        nm_k = nm_c[idx2]
+        of2 = order[idx2]  # frame-0 indices of the kernel rows
+        aw_k = aw[of2]
+        nm_k = nmask[of2]
         kl_kc = kl_k[idx2]
 
         # unpack kernel lane arrays at the PK prefix only (elementwise
@@ -1248,9 +1261,17 @@ def _map_lanes_pallas_jit(
         gk_meta = jnp.where(lm2, gk_meta, 0)
 
         # ---- per-prefix postpass + frame-0 scatters ----
+        # the xscan emits at most xscan_f candidates per MMP slot, so
+        # its intersection + sort runs at width F (not C) and the
+        # result rows zero-pad up to the C-wide output slots
         xt, xp, xv = _intersect_sort(
-            xs_txp, xs_pin, xs_vld, xs_nm, C=C, M=M
+            xs_txp, xs_pin, xs_vld, xs_nm, C=xscan_f, M=M
         )
+        if C > xscan_f:
+            padc = ((0, 0), (0, C - xscan_f))
+            xt = jnp.pad(xt, padc)
+            xp = jnp.pad(xp, padc)
+            xv = jnp.pad(xv, padc)
         kt, kp, kv = _intersect_sort(
             gk_txp, gk_pin, gk_vld, gk_meta[:, 0], C=C, M=M
         )
@@ -1265,7 +1286,6 @@ def _map_lanes_pallas_jit(
         # xscan rows first (punted rows write partial state, then the
         # kernel scatter overwrites them — punts are always in the
         # kernel set)
-        oP = order[:P]
         txp0 = txp0.at[oP].set(xt)
         pos0 = pos0.at[oP].set(xp)
         vld0 = vld0.at[oP].set(xv)
@@ -1274,7 +1294,7 @@ def _map_lanes_pallas_jit(
         nml0 = nml0.at[oP].set(xv.sum(axis=1))
 
         # kernel rows; dead prefix rows redirect out of range (dropped)
-        oK = jnp.where(kl_kc > 0, order[idx2], B2)
+        oK = jnp.where(kl_kc > 0, of2, B2)
         txp0 = txp0.at[oK].set(kt)
         pos0 = pos0.at[oK].set(kp)
         vld0 = vld0.at[oK].set(kv)
@@ -1444,10 +1464,11 @@ def _fastpath_clean(
     unique-seed reads (the majority of a typical run) this removes the
     per-lane scalar orchestration entirely.
 
-    Gather economy: ONE bucket-pair row gather (ht16 viewed (S/2, 32))
-    resolves probe h1 always and probe h1+1 when h1 is even; odd-h1
-    chained keys simply fall through to the scan paths (conservative).
-    ONE overlapped pk_rows gather serves the 9-word verify window.
+    Gather economy: ONE 16-word bucket row gather resolves probe h1;
+    keys displaced into later chain buckets simply fall through to the
+    scan paths (conservative — they resolve there).  ONE overlapped
+    17-word pk_rows gather serves the 9-word verify window (16 words +
+    a flag bitmask).
 
     Exactness: every condition is conservative — unresolved probes,
     multi-candidate seeds, reads containing non-ACGT codes, and text
@@ -1463,7 +1484,6 @@ def _fastpath_clean(
     B2 = aw.shape[0]
     hmask = jnp.int32((1 << ht_bits) - 1)
     S = ht16.shape[0]
-    ht32 = ht16.reshape(S // 2, 32)
     Rw = pk_rows.shape[0]
 
     k0 = aw[:, 0]
@@ -1477,41 +1497,23 @@ def _fastpath_clean(
     k0i = jax.lax.bitcast_convert_type(k0, jnp.int32)
     k1i = jax.lax.bitcast_convert_type(k1, jnp.int32)
 
-    row = ht32[jnp.clip(h1 >> 1, 0, S // 2 - 1)]        # (B2, 32)
-    odd = (h1 & 1) == 1
-
-    def bucket16(row16):
-        m = ((row16[:, 12:16] > 0)
-             & (row16[:, 0:4] == k0i[:, None])
-             & (row16[:, 4:8] == k1i[:, None]))
-        found = m.any(axis=1)
-        lo = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
-        cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
-        has_empty = (row16[:, 12:16] == 0).any(axis=1)
-        return found, lo, cnt, has_empty
-
-    b0 = jnp.where(odd[:, None], row[:, 16:], row[:, :16])
-    f1, lo1, c1, e1 = bucket16(b0)
-    if ht_probes >= 2:
-        # bucket h1+1 is resident only for even h1; odd chained keys
-        # fall through (conservative: they take the scan paths)
-        f2, lo2, c2, _ = bucket16(row[:, 16:])
-        avail2 = ~odd & (h1 + 1 < S)
-        found = f1 | (avail2 & ~e1 & f2)
-    else:
-        f2 = jnp.zeros(B2, bool)
-        lo2 = c2 = jnp.zeros(B2, jnp.int32)
-        found = f1
-    cnt = jnp.where(f1, c1, c2)
-    p = jnp.where(f1, lo1, lo2)  # direct text position when cnt == 1
+    row16 = ht16[jnp.clip(h1, 0, S - 1)]                # (B2, 16)
+    m = ((row16[:, 12:16] > 0)
+         & (row16[:, 0:4] == k0i[:, None])
+         & (row16[:, 4:8] == k1i[:, None]))
+    found = m.any(axis=1)
+    cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
+    p = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
+    # direct text position when cnt == 1 (keys displaced past bucket
+    # h1 are simply not found here — conservative)
 
     active = (klens >= k) & ~has_n & found & (cnt == 1)
 
     pc = jnp.clip(p, 0, n_text - 1)
     w0 = pc >> 4
     # overlapped pk rows: the 9-word window at offset w0 & 7 sits in
-    # ONE row (row r covers words 8r..8r+15)
-    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (B2, 32)
+    # ONE row (row r covers words 8r..8r+15; col 16 = flag bits)
+    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (B2, 17)
     d = w0 & 7
 
     def select9(mat):
@@ -1521,7 +1523,9 @@ def _fastpath_clean(
         return out
 
     W9 = jax.lax.bitcast_convert_type(select9(ra[:, :16]), jnp.uint32)
-    S9 = select9(ra[:, 16:])
+    # flag bit w covers word 8r+w; window word j is flag bit d + j
+    fb = ra[:, 16] >> d
+    S9 = jnp.stack([(fb >> jj) & 1 for jj in range(9)], axis=1)
     o = pc & 15
     sh = (o * 2).astype(jnp.uint32)[:, None]
     awin = jnp.where(
@@ -1634,9 +1638,15 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     s16s = np.ascontiguousarray(
         sliding_window_view(spad, 16)[::8][:rw_rows]
     )
+    # flags ride as ONE bitmask word (bit w = word 8r+w special), so a
+    # verify window gather moves 17 words instead of 32 — gather cost
+    # is per element, so the narrower row is ~2x cheaper
+    sbits = (s16s.astype(np.uint32)
+             << np.arange(16, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32).astype(np.int32)
     pk_rows = np.concatenate(
-        [w16s.view(np.int32), s16s], axis=1
-    )  # (Rw, 32)
+        [w16s.view(np.int32), sbits[:, None]], axis=1
+    )  # (Rw, 17): [16 words | flag bits]
     # OVERLAPPED SA rows for the xscan candidate slice: row r covers
     # SA[16r, 16r+24), so any (lo & 15) + F <= 24 window is ONE gather
     rs16 = -(-n // 16) + 2

@@ -11,26 +11,28 @@ packed-word LCP verify, hit recording, NIP advance) is a row gather or
 elementwise op across all lanes at once, so per-lane cost is VPU work
 instead of microseconds of serialized scalar work.
 
-Gather economy (round 4 — everything here is gather-bound, measured
-~13M rows/s on v5e regardless of row width up to 32):
+Gather economy (round 4 — this stage is gather-VOLUME-bound; measured
+on v5e the cost is per element moved, regardless of row width):
   * lanes arrive as ALIGNED 16-base words (P, WA) — per-position keys
     are derived by funnel shifts (VPU), not carried as (P, 256) arrays
-  * hash probes fetch BUCKET-PAIR rows: ht16 reshaped (S/2, 32) gives
-    buckets {2r, 2r+1} per row, so a 4-deep probe chain costs 2 row
-    gathers instead of 4; chains that walk outside the fetched pair
-    window PUNT (rare: chains >= 3 starting at an odd bucket)
-  * the packed-text verify reads OVERLAPPED pk_rows (stride 8, 16
-    words + 16 flags per row): any 9-word window lives in ONE row
-  * SA slices read OVERLAPPED sa_ov rows (stride 16, width 24): any
-    (lo & 15) + F <= 24 window lives in ONE row
+  * phase A is LIGHT: one 16-word bucket gather per event; only
+    unique seeds (cnt == 1) are verified (no SA slice at all); events
+    that would need a probe chain or a multi-candidate verify DEFER —
+    the lane simply stays active and phase B redoes the position with
+    the full machinery (sound: the event never executed)
+  * phase B probes BUCKET-PAIR rows (ht16 viewed (S/2, 32): a 4-deep
+    chain costs 2 row gathers); chains that walk outside the fetched
+    pair window PUNT (rare)
+  * the packed-text verify reads 17-word overlapped pk_rows (16 words
+    + ONE flag-bitmask word; stride 8): any 9-word window in one row
+  * SA slices read overlapped sa_ov rows (stride 16, width 24)
 
 Two-phase schedule: most lanes that reach this scan finish in 1-3
-probe events (one MMP to the error, a Bloom-guided jump past it, one
-MMP to the read end), so iterating the full lane prefix T times wastes
-most of the work.  Phase A runs T1 events at full width P; the still-
-active lanes are then compacted to a P//4 prefix and phase B runs the
-remaining T-T1 events there.  Both phases are lax.scan loops (ONE
-traced body each instead of T unrolled copies — the unrolled form
+probe events, so iterating the full lane prefix T times wastes most of
+the work.  Phase A runs T1 light events at full width P; the still-
+active lanes are then compacted to a P//P2DIV prefix and phase B runs
+the remaining T-T1 full events there.  Both phases are lax.scan loops
+(ONE traced body each instead of T unrolled copies — the unrolled form
 dominated XLA compile time of the fused production step).  Active
 lanes that overflow the phase-B prefix PUNT to the Pallas kernel, so
 the shrink is semantics-free.
@@ -42,9 +44,12 @@ Exactness contract (mirrors refimpl/mapper._mmps + the Pallas kernel):
     the budget never binds, so WHICH sound absence proof fires is
     unobservable); a false positive probes the table and misses, also
     advancing by 1 — identical outcomes
-  * probes resolve within the fetched bucket-pair window — an
-    unresolved chain PUNTS (includes ht_probes > 4, wrap-around, and
-    odd-start chains needing the 4th bucket)
+  * a DEFERRED event leaves the lane state untouched (position, MMPs),
+    so re-executing it later with the full machinery is the same scan
+  * probes must resolve within the fetched window (first bucket in
+    phase A, the bucket-pair window in phase B) — otherwise defer /
+    punt; a bucket with an empty slot and no match is a definitive
+    miss (the builder's chains never skip an empty slot)
   * candidate intervals: cnt == 1 uses the direct text position the
     hash row stores; 2 <= cnt <= F slices the SA; cnt > C sets the
     overflow flag and advances (reference-parity no-hit);
@@ -64,6 +69,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -98,8 +104,6 @@ def pos_words(aw, npos: int):
     """(P, WA) aligned words -> (P, npos) per-position 16-base words via
     funnel shifts: word(j) = aw[j>>4] << 2(j&15) | aw[j>>4 + 1] >> ...
     (pure VPU — replaces carrying a (P, 256) per-position array)."""
-    import numpy as np
-
     P, WA = aw.shape
     nw = (npos + 15) >> 4
     lo = jnp.repeat(aw[:, :nw], 16, axis=1)[:, :npos]
@@ -109,7 +113,18 @@ def pos_words(aw, npos: int):
     return jnp.where(sh == 0, lo, (lo << sh) | (hi >> (U32(32) - sh)))
 
 
-def probe_pairrows(ht32, h1, k0i, k1i, *, ht_bits: int, ht_probes: int):
+def _bucket16(row16, k0i, k1i):
+    m = ((row16[:, 12:16] > 0)
+         & (row16[:, 0:4] == k0i[:, None])
+         & (row16[:, 4:8] == k1i[:, None]))
+    found = m.any(axis=1)
+    lo = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
+    cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
+    empty = (row16[:, 12:16] == 0).any(axis=1)
+    return found, lo, cnt, empty
+
+
+def probe_pairrows(ht32, h1, k0i, k1i, *, ht_probes: int):
     """Full probe-chain resolution from TWO bucket-pair row gathers.
 
     ht32 is the (S, 16) bucket table viewed as (S//2, 32): row r holds
@@ -126,16 +141,6 @@ def probe_pairrows(ht32, h1, k0i, k1i, *, ht_bits: int, ht_probes: int):
     rowA = ht32[p0]
     rowB = ht32[jnp.clip(p0 + 1, 0, S2 - 1)]
     odd = (h1 & 1) == 1
-
-    def bucket16(row16):
-        m = ((row16[:, 12:16] > 0)
-             & (row16[:, 0:4] == k0i[:, None])
-             & (row16[:, 4:8] == k1i[:, None]))
-        found = m.any(axis=1)
-        lo = jnp.where(m, row16[:, 8:12], 0).sum(axis=1)
-        cnt = jnp.where(m, row16[:, 12:16], 0).sum(axis=1)
-        empty = (row16[:, 12:16] == 0).any(axis=1)
-        return found, lo, cnt, empty
 
     # chain offset a -> bucket slice: even h1 = [A0, A1, B0, B1],
     # odd h1 = [A1, B0, B1, <unfetched>]
@@ -155,7 +160,7 @@ def probe_pairrows(ht32, h1, k0i, k1i, *, ht_bits: int, ht_probes: int):
             row16 = jnp.where(odd[:, None], odds[a], evn[a])
             avail = jnp.ones(P, bool)
         avail = avail & (h1 + a < S)
-        fa, loa, ca, ea = bucket16(row16)
+        fa, loa, ca, ea = _bucket16(row16, k0i, k1i)
         live = ~stopped & ~unres & ~found
         unres = unres | (live & ~avail)
         newly = live & avail & fa
@@ -167,24 +172,72 @@ def probe_pairrows(ht32, h1, k0i, k1i, *, ht_bits: int, ht_probes: int):
         miss = ~found & ~unres
     else:
         miss = ~found & stopped & ~unres
-        unres = unres | (~found & ~stopped & ~unres)
+        unres = unres | (~found & ~stopped)
     return found, lo, cnt, miss, unres
 
 
-def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
-                n_text, skip_jump, npos):
-    """One probe event for every lane: Bloom-guided advance to the next
-    present position, hash probe, candidate fetch + packed-word LCP
-    verify, hit recording, NIP/JUMP advance.  All state is stacked
-    arrays so the caller can run this under lax.scan."""
+def _verify_lcp(gc_f, rw, jc, lens, pk_rows):
+    """Packed-word LCP of ONE candidate column: compare the text window
+    starting at global position (gc_f + jc) - jc ... i.e. the window
+    whose column j aligns with read position j — against the read's
+    aligned words, from read column jc.  Returns (lcp_f, spec_f)."""
+    Rw = pk_rows.shape[0]
+    w0 = gc_f >> 4
+    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (P, 17)
+    W9 = jax.lax.bitcast_convert_type(
+        _select_w(ra[:, :16], w0 & 7, 9), U32)
+    fb = ra[:, 16] >> (w0 & 7)
+    o = gc_f & 15
+    sh = (o * 2).astype(U32)[:, None]
+    aw = jnp.where(
+        (o == 0)[:, None],
+        W9[:, 0:8],
+        (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
+    )
+    x = aw ^ rw
+    # ignore compare columns < j: zero the leading (j - 16*wi) bases of
+    # each word (earliest base sits in the MSBs)
+    wi8 = jnp.arange(8, dtype=I32)[None, :]
+    lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
+    keep = jnp.where(
+        lead >= 16, U32(0),
+        jnp.where(lead == 0, U32(0xFFFFFFFF),
+                  U32(0xFFFFFFFF) >> (2 * lead).astype(U32)),
+    )
+    x = x & keep
+    sm = x
+    for b in (1, 2, 4, 8, 16):
+        sm = sm | (sm >> U32(b))
+    eqb = ((U32(32) - jax.lax.population_count(sm))
+           >> U32(1)).astype(I32)
+    bp = jnp.where(x != 0, 16 * wi8 + eqb, I32(4096))
+    raw = jnp.min(bp, axis=1)
+    lcp_f = jnp.minimum(raw, lens) - jc
+    # the compared window words [j>>4, nword] must be special-free for
+    # the A-substituted compare to equal the true-code compare
+    nword = (lens + 15) >> 4
+    jword = jc >> 4
+    wi9 = jnp.arange(9, dtype=I32)[None, :]
+    s9 = jnp.stack([(fb >> jj) & 1 for jj in range(9)], axis=1)
+    spec_f = ((s9 != 0) & (wi9 >= jword[:, None])
+              & (wi9 <= nword[:, None])).any(axis=1)
+    return lcp_f, spec_f
+
+
+def _event_step(state, lane, tables, *, k, C, M, F, Fs, ht_bits,
+                ht_probes, n_text, skip_jump, npos, light):
+    """One probe event for every lane.  `light` = phase-A economy mode:
+    single-bucket probe, unique-seed verify only; anything needing the
+    probe chain, the SA slice, or a multi-candidate verify DEFERS (the
+    lane state is untouched and the lane stays active for phase B).
+    `Fs` is the static candidate-slot width of the state (phase B's F);
+    light events write slot 0 only."""
     i, nm, mlen, over, punt, gtxp, gpin, vld = state
     k0a, k1a, nxt, rw, lens = lane
-    ht32, pk_rows, sa_ov, text_flat = tables
+    ht16, ht32, pk_rows, sa_ov, text_flat = tables
     P = i.shape[0]
-    Rw = pk_rows.shape[0]
+    S = ht16.shape[0]
     Rs = sa_ov.shape[0]
-    fcols = jnp.arange(F, dtype=I32)[None, :]
-    wi9 = jnp.arange(9, dtype=I32)[None, :]
 
     act0 = (i + k <= lens) & (nm < M) & ~punt
     ic = jnp.clip(i, 0, npos - 1)
@@ -196,107 +249,88 @@ def _event_step(state, lane, tables, *, k, C, M, F, ht_bits, ht_probes,
     act = act0 & ~no_more
     jc = jnp.where(act, j, 0)
 
-    # ---- probe (bucket-pair rows; unresolved chains punt) ----
+    # ---- probe ----
     k0 = jnp.take_along_axis(k0a, jc[:, None], axis=1)[:, 0]
     k1 = jnp.take_along_axis(k1a, jc[:, None], axis=1)[:, 0]
     hmask = I32((1 << ht_bits) - 1)
     h1 = _mix_u32(k0, k1).astype(I32) & hmask
     k0i = jax.lax.bitcast_convert_type(k0, I32)
     k1i = jax.lax.bitcast_convert_type(k1, I32)
-    found, lo, cnt, miss, unresolved = probe_pairrows(
-        ht32, h1, k0i, k1i, ht_bits=ht_bits, ht_probes=ht_probes)
+    if light:
+        f1, lo, cnt, e1 = _bucket16(
+            ht16[jnp.clip(h1, 0, S - 1)], k0i, k1i)
+        found = f1
+        # empty slot + no match = definitive miss; full bucket with no
+        # match = the chain continues -> DEFER to phase B
+        miss = ~f1 & e1
+        defer = ~f1 & ~e1
+        unresolved = jnp.zeros(P, bool)
+    else:
+        found, lo, cnt, miss, unresolved = probe_pairrows(
+            ht32, h1, k0i, k1i, ht_probes=ht_probes)
+        defer = jnp.zeros(P, bool)
 
     # ---- candidate positions ----
     single = found & (cnt == 1)
-    multi = found & (cnt > 1) & (cnt <= F)
-    srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs - 1)
-    sa24 = sa_ov[srow]                              # (P, 24)
-    pf = _select_w(sa24, jnp.where(multi, lo & 15, 0), F)
-    p = jnp.where(single[:, None],
-                  jnp.broadcast_to(lo[:, None], (P, F)), pf)
-    ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
-    inc = fcols < ncand[:, None]                 # (P, F) real cands
+    if light:
+        # only unique seeds execute; multi-candidate events defer
+        defer = defer | (found & (cnt > 1) & (cnt <= C))
+        nexec = 1
+        p = jnp.where(single, lo, 0)[:, None]            # (P, 1)
+        ncand = jnp.where(single, 1, 0)
+    else:
+        nexec = F
+        multi = found & (cnt > 1) & (cnt <= F)
+        srow = jnp.clip(jnp.where(multi, lo, 0) >> 4, 0, Rs - 1)
+        sa24 = sa_ov[srow]                               # (P, 24)
+        pf = _select_w(sa24, jnp.where(multi, lo & 15, 0), F)
+        p = jnp.where(single[:, None],
+                      jnp.broadcast_to(lo[:, None], (P, F)), pf)
+        ncand = jnp.where(found, jnp.minimum(cnt, F), 0)
+    fcols = jnp.arange(nexec, dtype=I32)[None, :]
+    inc = fcols < ncand[:, None]                 # (P, nexec) real cands
     g = p - jc[:, None]
     bad_g = inc & ((g < 0) | (p >= n_text))
     gc = jnp.clip(g, 0, n_text - 1)
     pcl = jnp.clip(p, 0, n_text - 1)
 
     # ---- verify each candidate: packed-word LCP from col j ----
-    lcp = jnp.full((P, F), -1, I32)
+    lcp = jnp.full((P, nexec), -1, I32)
     spec_any = jnp.zeros(P, bool)
-    nword = (lens + 15) >> 4
-    jword = jc >> 4
-    for f in range(F):
-        gf = gc[:, f]
-        w0 = gf >> 4
-        # overlapped pk rows: row r holds words 8r..8r+15 (+ flags),
-        # so the 9-word window at offset w0 & 7 sits in ONE row
-        ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]   # (P, 32)
-        W9 = jax.lax.bitcast_convert_type(
-            _select_w(ra[:, :16], w0 & 7, 9), U32)
-        S9 = _select_w(ra[:, 16:], w0 & 7, 9)
-        o = gf & 15
-        sh = (o * 2).astype(U32)[:, None]
-        aw = jnp.where(
-            (o == 0)[:, None],
-            W9[:, 0:8],
-            (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
-        )
-        x = aw ^ rw
-        # ignore compare columns < j: zero the leading (j - 16*wi)
-        # bases of each word (earliest base sits in the MSBs)
-        wi8 = jnp.arange(8, dtype=I32)[None, :]
-        lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
-        keep = jnp.where(
-            lead >= 16, U32(0),
-            jnp.where(lead == 0, U32(0xFFFFFFFF),
-                      U32(0xFFFFFFFF) >> (2 * lead).astype(U32)),
-        )
-        x = x & keep
-        sm = x
-        for b in (1, 2, 4, 8, 16):
-            sm = sm | (sm >> U32(b))
-        eqb = ((U32(32) - jax.lax.population_count(sm))
-               >> U32(1)).astype(I32)
-        bp = jnp.where(x != 0, 16 * wi8 + eqb, I32(4096))
-        raw = jnp.min(bp, axis=1)
-        lcp_f = jnp.minimum(raw, lens) - jc
+    for f in range(nexec):
+        lcp_f, spec_f = _verify_lcp(gc[:, f], rw, jc, lens, pk_rows)
         lcp = lcp.at[:, f].set(lcp_f)
-        # the compared window words [j>>4, nword] must be special-free
-        # for the A-substituted compare to equal the true-code compare
-        spec_f = ((S9 != 0) & (wi9 >= jword[:, None])
-                  & (wi9 <= nword[:, None])).any(axis=1)
         spec_any = spec_any | (inc[:, f] & spec_f)
 
     lcpm = jnp.where(inc, lcp, -1)
     lstar = jnp.max(lcpm, axis=1)
-    overflow_ev = act & found & (cnt > C)
-    punt_ev = act & (
+    overflow_ev = act & ~defer & found & (cnt > C)
+    punt_ev = act & ~defer & (
         unresolved
-        | (found & (cnt > F) & (cnt <= C))
-        | (found & (cnt <= F) & (bad_g.any(axis=1) | spec_any))
+        | (found & (cnt > nexec) & (cnt <= C) & jnp.asarray(not light))
+        | (found & (cnt <= nexec) & (bad_g.any(axis=1) | spec_any))
     )
-    hit = act & ~punt_ev & found & (cnt > 0) & (cnt <= F) \
+    hit = act & ~defer & ~punt_ev & found & (cnt > 0) & (cnt <= nexec) \
         & (lstar >= k)
-    nohit_adv = act & ~punt_ev & (
+    nohit_adv = act & ~defer & ~punt_ev & (
         miss | overflow_ev
-        | (found & (cnt <= F) & (lstar < k))
+        | (found & (cnt <= nexec) & (lstar < k))
     )
 
-    # ---- record hits (one-hot over the M MMP slots) ----
+    # ---- record hits (one-hot over the M MMP slots, Fs cand slots) ----
     q = pcl + 128  # fused text rows carry a front SEP block (ROW)
     base = (3 * (q >> 7) + 1) * 128 + (q & 127)
     txp_f = text_flat[base]
     pin_f = text_flat[base + 128] - jc[:, None]
-    best = inc & (lcpm == lstar[:, None])                # (P, F)
-    padC = C - F
-    if padC:
-        txp_f = jnp.pad(txp_f, ((0, 0), (0, padC)))
-        pin_f = jnp.pad(pin_f, ((0, 0), (0, padC)))
-        best = jnp.pad(best, ((0, 0), (0, padC)))
+    best = inc & (lcpm == lstar[:, None])                # (P, nexec)
+    padF = Fs - nexec
+    if padF:
+        txp_f = jnp.pad(txp_f, ((0, 0), (0, padF)))
+        pin_f = jnp.pad(pin_f, ((0, 0), (0, padF)))
+        best = jnp.pad(best, ((0, 0), (0, padF)))
     onem = (hit[:, None]
             & (jnp.arange(M, dtype=I32)[None, :] == nm[:, None]))
-    sel = onem[:, :, None] & best[:, None, :]            # (P, M, C)
+    sel = onem[:, :, None] & best[:, None, :]            # (P, M, Fs)
     gtxp = jnp.where(sel, txp_f[:, None, :], gtxp)
     gpin = jnp.where(sel, pin_f[:, None, :], gpin)
     vld = jnp.where(onem[:, :, None], sel, vld)
@@ -318,7 +352,7 @@ def nip_scan_xla(
     lens,        # (P,) i32 lane lengths (0 = dead/already handled)
     has_n,       # (P,) bool — lane contains a non-ACGT code in [0, len)
     ht16,        # (S, 16) i32 bucket rows [k0 x4|k1 x4|lo x4|cnt x4]
-    pk_rows,     # (Rw, 32) i32 OVERLAPPED [16 words | 16 flags], stride 8
+    pk_rows,     # (Rw, 17) i32 OVERLAPPED [16 words | flag bits], stride 8
     sa_ov,       # (Rs, 24) i32 OVERLAPPED SA rows, stride 16
     text_flat,   # flat i32 view of the fused text rows (identity source)
     filt_flat,   # (Fw,) i32 flat k-mer Bloom words (single-word layout)
@@ -326,7 +360,7 @@ def nip_scan_xla(
     k: int,
     C: int,            # cand_cap (overflow threshold)
     M: int,            # max MMPs
-    F: int,            # max candidates verified per event (2..8)
+    F: int,            # max candidates verified per phase-B event (2..8)
     T: int,            # max probe events per lane
     L_read: int,       # static read-window width (positions 0..L_read-k)
     ht_bits: int,
@@ -334,11 +368,13 @@ def nip_scan_xla(
     filt_bits: int,
     n_text: int,
     skip_jump: bool,
-    T1: int = 2,       # phase-A events at full width before compaction
+    T1: int = 2,       # phase-A (light) events before compaction
+    P2_div: int = 2,   # phase-B prefix = P // P2_div
 ):
-    """Returns (handled, gtxp (P, M*C), gpin, vld, nm, mlen, over):
+    """Returns (handled, gtxp (P, M*F), gpin, vld, nm, mlen, over):
     `handled` lanes carry complete, exact scan results; others must go
-    to the Pallas kernel."""
+    to the Pallas kernel.  NOTE the candidate-slot width is F (not C) —
+    the scan never emits more than F candidates per MMP."""
     P = aw.shape[0]
     npos = L_read - k + 1
     fmask = I32((1 << filt_bits) - 1)
@@ -362,13 +398,15 @@ def nip_scan_xla(
     rw = aw[:, 0:8]  # (P, 8) read words at positions 0, 16, .., 112
 
     ht32 = ht16.reshape(-1, 32)
-    kw = dict(k=k, C=C, M=M, F=F, ht_bits=ht_bits, ht_probes=ht_probes,
-              n_text=n_text, skip_jump=skip_jump, npos=npos)
-    tables = (ht32, pk_rows, sa_ov, text_flat)
+    Fs = F
+    kw = dict(k=k, C=C, M=M, F=F, Fs=Fs, ht_bits=ht_bits,
+              ht_probes=ht_probes, n_text=n_text, skip_jump=skip_jump,
+              npos=npos)
+    tables = (ht16, ht32, pk_rows, sa_ov, text_flat)
 
-    def scan_phase(state, lane, steps):
+    def scan_phase(state, lane, steps, light):
         def body(st, _):
-            return _event_step(st, lane, tables, **kw), None
+            return _event_step(st, lane, tables, light=light, **kw), None
 
         state, _ = jax.lax.scan(body, state, None, length=steps)
         return state
@@ -379,14 +417,14 @@ def nip_scan_xla(
         jnp.zeros(P, I32),                 # mlen
         jnp.zeros(P, bool),                # over
         has_n & (lens > 0),                # punt
-        jnp.zeros((P, M, C), I32),         # gtxp
-        jnp.zeros((P, M, C), I32),         # gpin
-        jnp.zeros((P, M, C), bool),        # vld
+        jnp.zeros((P, M, Fs), I32),        # gtxp
+        jnp.zeros((P, M, Fs), I32),        # gpin
+        jnp.zeros((P, M, Fs), bool),       # vld
     )
     lane = (k0a, k1a, nxt, rw, lens)
 
     T1 = min(T1, T)
-    state = scan_phase(state, lane, T1)
+    state = scan_phase(state, lane, T1, light=True)
 
     def active_of(st, ln):
         i, nm, _, _, punt = st[:5]
@@ -395,9 +433,9 @@ def nip_scan_xla(
         return (i + k <= ln[4]) & (nm < M) & ~punt & (jn < _BIG)
 
     if T > T1:
-        # ---- compact still-active lanes to a quarter-width prefix ----
+        # ---- compact still-active lanes to a narrower prefix ----
         act = active_of(state, lane)
-        P2 = max(P // 4, 8)
+        P2 = max(P // P2_div, 8)
         # active lanes beyond the prefix punt (semantics-free: the
         # kernel recomputes them from scratch)
         rank = jnp.cumsum(act.astype(I32)) - 1
@@ -410,7 +448,7 @@ def nip_scan_xla(
         sub_state = (i[idx], nm[idx], mlen[idx], over[idx], punt[idx],
                      gtxp[idx], gpin[idx], vld[idx])
         sub_lane = (k0a[idx], k1a[idx], nxt[idx], rw[idx], lens[idx])
-        sub_state = scan_phase(sub_state, sub_lane, T - T1)
+        sub_state = scan_phase(sub_state, sub_lane, T - T1, light=False)
         si, snm, smlen, sover, spunt, sgtxp, sgpin, svld = sub_state
         i = i.at[idx].set(si)
         nm = nm.at[idx].set(snm)
@@ -421,11 +459,15 @@ def nip_scan_xla(
         gpin = gpin.at[idx].set(sgpin)
         vld = vld.at[idx].set(svld)
         state = (i, nm, mlen, over, punt, gtxp, gpin, vld)
+    else:
+        # light-only schedule: deferred events would never execute —
+        # any lane mid-defer is still active and punts below
+        pass
 
     i, nm, mlen, over, punt, gtxp, gpin, vld = state
     # any lane still holding a future candidate event is unfinished
     punt = punt | active_of(state, lane)
     handled = (lens > 0) & ~punt
 
-    return (handled, gtxp.reshape(P, M * C), gpin.reshape(P, M * C),
-            vld.reshape(P, M * C), nm, mlen, over)
+    return (handled, gtxp.reshape(P, M * Fs), gpin.reshape(P, M * Fs),
+            vld.reshape(P, M * Fs), nm, mlen, over)

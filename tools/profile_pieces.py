@@ -266,7 +266,7 @@ def main():
         f"punted: {int(livec.sum() - handled.sum())}")
 
     # ---- s5: second compaction + unpack + residual kernel ----
-    PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 4, LB)
+    PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 8, LB)
     kl_np = np.asarray(kl_c).copy()
     kl_np[:P] = np.where(handled, 0, kl_np[:P])
     kl_k = jnp.asarray(kl_np)
@@ -333,7 +333,10 @@ def main():
         def s6(xs_txp, xs_pin, xs_vld, xs_nm, gk_txp, gk_pin, gk_vld,
                gk_meta, order):
             xt, xp, xv = _intersect_sort(xs_txp, xs_pin, xs_vld, xs_nm,
-                                         C=C, M=M)
+                                         C=xscan_f, M=M)
+            padc = ((0, 0), (0, C - xscan_f))
+            xt = jnp.pad(xt, padc)
+            xv = jnp.pad(xv, padc)
             kt, kp, kv = _intersect_sort(gk_txp, gk_pin, gk_vld,
                                          gk_meta[:, 0], C=C, M=M)
             txp0 = jnp.zeros((B2, C), jnp.int32)
