@@ -960,6 +960,15 @@ def map_oriented_lanes_pallas(
     xscan_f = min(int(os.environ.get("SF_XSCAN_F", "4")), 8, cand_cap)
     xscan_t1 = int(os.environ.get("SF_XSCAN_T1", "2"))
     xscan_p2 = int(os.environ.get("SF_XSCAN_P2", "2"))
+    # phase-B narrowing schedule "div:steps,div:steps,..." — each
+    # segment runs `steps` full events on a P//div compacted prefix
+    # (measured decay on the bench world: most lanes finish in their
+    # first full event, so later events run at a fraction of the width)
+    xscan_b = tuple(
+        tuple(int(x) for x in seg.split(":"))
+        for seg in os.environ.get("SF_XSCAN_B", "2:1,4:1,8:3").split(",")
+        if seg
+    )
     # Workaround for a jax executable-reuse bug: calling the jitted
     # wrapper with a DIFFERENT index whose arrays have identical shapes
     # (new process-global arrays, same avals/statics) can hit a cached
@@ -1004,6 +1013,7 @@ def map_oriented_lanes_pallas(
         xscan_f=xscan_f,
         xscan_t1=xscan_t1,
         xscan_p2=xscan_p2,
+        xscan_b=xscan_b,
         filtxl_bits=(
             (filtxl_bits if filtxl_bits is not None
              else text_pallas.get("filtxl_bits", 0)) if xscan else 0),
@@ -1017,7 +1027,7 @@ def map_oriented_lanes_pallas(
                      "phases", "postpass", "uniform_len", "filt_bits",
                      "filt_access", "w16_bits", "compact_lanes",
                      "fastpath", "xscan", "xscan_t", "xscan_f",
-                     "xscan_t1", "xscan_p2", "filtxl_bits"),
+                     "xscan_t1", "xscan_p2", "xscan_b", "filtxl_bits"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
@@ -1045,6 +1055,7 @@ def _map_lanes_pallas_jit(
     xscan_f: int = 4,
     xscan_t1: int = 2,
     xscan_p2: int = 2,
+    xscan_b: tuple = (),
     filtxl_bits: int = 0,
 ):
     """Oriented-lane mapping: pack-domain lane pipeline (round 4).
@@ -1191,7 +1202,7 @@ def _map_lanes_pallas_jit(
                 L_read=min(L, WINR), ht_bits=ht_bits,
                 ht_probes=ht_probes, filt_bits=filtxl_bits,
                 n_text=n_text, skip_jump=skip_jump,
-                T1=xscan_t1, P2_div=xscan_p2,
+                T1=xscan_t1, P2_div=xscan_p2, sched_b=xscan_b,
             )
         )
         kl_k = kl_c.at[:P].set(jnp.where(handled, 0, kl_c[:P]))

@@ -122,7 +122,11 @@ class BatchStats:
 
 
 def _bucket(n: int) -> int:
-    b = 64
+    # floor of 1024: every distinct bucket is a separate compiled
+    # slice/gather graph, and on a tunneled device even a trivial
+    # compile is a ~0.5-1s round trip paid mid-run.  The padding cost
+    # is a few KB of extra D2H — noise next to a compile.
+    b = 1024
     while b < n:
         b *= 2
     return b
@@ -574,8 +578,10 @@ class DeviceMapperBackend:
         idx = np.zeros(upad, dtype=np.int32)
         idx[:U] = rep_idx
         wmax = int(rep_lens.max())
-        w = min(_bucket(max(wmax, 1)) if wmax > 8 else 8,
-                res["label"].shape[1])
+        w = 8
+        while w < wmax:
+            w *= 2
+        w = min(w, res["label"].shape[1])
         rows = np.asarray(
             _gather_rows_w(res["label"], jnp.asarray(idx), w=w)
         )[:U]

@@ -370,6 +370,12 @@ def nip_scan_xla(
     skip_jump: bool,
     T1: int = 2,       # phase-A (light) events before compaction
     P2_div: int = 2,   # phase-B prefix = P // P2_div
+    sched_b: tuple = (),  # ((width_div, steps), ...) phase-B segments;
+    # empty = one segment (P2_div, T - T1).  Each segment compacts the
+    # still-active lanes to a P//width_div prefix (overflow punts,
+    # semantics-free) and runs `steps` full events there.  Most lanes
+    # finish in their first 1-2 full events, so narrowing the prefix
+    # geometrically cuts the dominant phase-B gather volume several-fold.
 ):
     """Returns (handled, gtxp (P, M*F), gpin, vld, nm, mlen, over):
     `handled` lanes carry complete, exact scan results; others must go
@@ -432,10 +438,18 @@ def nip_scan_xla(
         jn = jnp.take_along_axis(ln[2], ic[:, None], axis=1)[:, 0]
         return (i + k <= ln[4]) & (nm < M) & ~punt & (jn < _BIG)
 
-    if T > T1:
+    if not sched_b:
+        sched_b = ((P2_div, T - T1),)
+    for div, steps in sched_b:
+        if steps <= 0 or T <= T1:
+            continue
         # ---- compact still-active lanes to a narrower prefix ----
+        # all segments compact from the full P frame (state scatters
+        # back after each segment); per-position keys are RECOMPUTED
+        # from the gathered aligned words (VPU funnel shifts) instead
+        # of gathering two (W, npos) matrices — ~7x fewer moved words
         act = active_of(state, lane)
-        P2 = max(P // P2_div, 8)
+        P2 = max(P // div, 8)
         # active lanes beyond the prefix punt (semantics-free: the
         # kernel recomputes them from scratch)
         rank = jnp.cumsum(act.astype(I32)) - 1
@@ -445,10 +459,13 @@ def nip_scan_xla(
         act = act & ~spill
         order = jnp.argsort(~act, stable=True)
         idx = order[:P2]
+        aw_s = aw[idx]
+        k0s = pos_words(aw_s, npos)
+        k1s = pos_words(aw_s[:, 1:], npos) >> shift_k1
         sub_state = (i[idx], nm[idx], mlen[idx], over[idx], punt[idx],
                      gtxp[idx], gpin[idx], vld[idx])
-        sub_lane = (k0a[idx], k1a[idx], nxt[idx], rw[idx], lens[idx])
-        sub_state = scan_phase(sub_state, sub_lane, T - T1, light=False)
+        sub_lane = (k0s, k1s, nxt[idx], aw_s[:, 0:8], lens[idx])
+        sub_state = scan_phase(sub_state, sub_lane, steps, light=False)
         si, snm, smlen, sover, spunt, sgtxp, sgpin, svld = sub_state
         i = i.at[idx].set(si)
         nm = nm.at[idx].set(snm)
@@ -459,10 +476,6 @@ def nip_scan_xla(
         gpin = gpin.at[idx].set(sgpin)
         vld = vld.at[idx].set(svld)
         state = (i, nm, mlen, over, punt, gtxp, gpin, vld)
-    else:
-        # light-only schedule: deferred events would never execute —
-        # any lane mid-defer is still active and punts below
-        pass
 
     i, nm, mlen, over, punt, gtxp, gpin, vld = state
     # any lane still holding a future candidate event is unfinished

@@ -238,8 +238,13 @@ def main():
 
     # ---- s4: xscan ----
     P = max(B2 // 4, LB)
-    xscan_t = int(os.environ.get("SF_XSCAN_T", "6"))
+    xscan_t = int(os.environ.get("SF_XSCAN_T", "7"))
     xscan_f = min(int(os.environ.get("SF_XSCAN_F", "4")), 8, CAP)
+    xscan_b = tuple(
+        tuple(int(x) for x in seg.split(":"))
+        for seg in os.environ.get("SF_XSCAN_B", "2:1,4:1,8:3").split(",")
+        if seg
+    )
 
     @jax.jit
     def s4(aw_c, kl_c, hn_c, ht16, pk_rows, sa_ov, text_flat,
@@ -249,7 +254,7 @@ def main():
             text_flat, filtxl_flat, k=k, C=CAP, M=opts.max_mmps,
             F=xscan_f, T=xscan_t, L_read=min(L, WINR), ht_bits=ht_bits,
             ht_probes=ht_probes, filt_bits=filtxl_bits, n_text=n_text,
-            skip_jump=False)
+            skip_jump=False, sched_b=xscan_b)
 
     if "4" in PIECES:
         (xs, _) = timeit(
