@@ -145,6 +145,24 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     dev_kind = jax.devices()[0].device_kind
     attach_done.set()
+
+    # op-level watchdog: attach can succeed while op EXECUTION hangs
+    # (seen 2026-08-20: a prior OOM-killed client wedged the remote
+    # worker — attach instant, every op stuck).  Prove the device
+    # executes before entering the long compile.
+    import jax.numpy as jnp
+
+    op_done = threading.Event()
+
+    def _op_watchdog():
+        if not op_done.wait(480):
+            log("FATAL: TPU executes nothing (trivial op hung >480s; "
+                "tunnel wedged) — no throughput measured this run")
+            os._exit(3)
+
+    threading.Thread(target=_op_watchdog, daemon=True).start()
+    assert int(jnp.arange(8).sum()) == 28
+    op_done.set()
     log(f"simulated {NUM_BATCHES} x {BATCH} read pairs "
         f"on {jax.default_backend()} ({dev_kind})")
 
@@ -194,6 +212,11 @@ def main():
             return bs
         return warm
 
+    import glob as _glob
+
+    cache_state = (
+        "warm" if _glob.glob("/tmp/jaxcache/jit_step-*") else "cold"
+    )
     t0 = time.time()
     try:
         bs = make_warm(backend)(HashedEqClassAccumulator())
@@ -212,7 +235,8 @@ def main():
             backend = DeviceMapperBackend(idx, opts)
             run_batch = make_runner(backend)
             bs = make_warm(backend)(HashedEqClassAccumulator())
-    log(f"warmup (compile) {time.time()-t0:.1f}s; "
+    log(f"warmup (compile) {time.time()-t0:.1f}s "
+        f"[persistent cache was {cache_state}]; "
         f"mapped {bs.num_mapped}/{BATCH}")
 
     # one-deep pipeline like the quant driver: device maps batch n+1

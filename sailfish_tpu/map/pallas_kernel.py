@@ -884,6 +884,160 @@ def mmp_scan_pallas(
     return gtxp, gpin, vld, meta
 
 
+def _grprev32(x):
+    """Reverse the sixteen 2-bit groups of each u32 (base order flip)."""
+    U32 = jnp.uint32
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x >> U32(2)) & U32(0x33333333))
+    x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x >> U32(4)) & U32(0x0F0F0F0F))
+    x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x >> U32(8)) & U32(0x00FF00FF))
+    return (x << U32(16)) | (x >> U32(16))
+
+
+def _bitrev32(x):
+    U32 = jnp.uint32
+    x = ((x & U32(0x55555555)) << U32(1)) | ((x >> U32(1)) & U32(0x55555555))
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x >> U32(2)) & U32(0x33333333))
+    x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x >> U32(4)) & U32(0x0F0F0F0F))
+    x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x >> U32(8)) & U32(0x00FF00FF))
+    return (x << U32(16)) | (x >> U32(16))
+
+
+def _morton2(x):
+    """Spread the low 16 bits of each u32 to even positions, then
+    duplicate each into its odd neighbor: bit i -> bits {2i, 2i+1}."""
+    U32 = jnp.uint32
+    x = x & U32(0xFFFF)
+    x = (x | (x << U32(8))) & U32(0x00FF00FF)
+    x = (x | (x << U32(4))) & U32(0x0F0F0F0F)
+    x = (x | (x << U32(2))) & U32(0x33333333)
+    x = (x | (x << U32(1))) & U32(0x55555555)
+    return x | (x << U32(1))
+
+
+def _pad_bits_mask(nw: int, start: int) -> np.ndarray:
+    """Static (nw,) u32 row: bit j of word w set iff 32w + j >= start
+    (LSB-first bit convention)."""
+    out = np.zeros(nw, np.uint32)
+    for w in range(nw):
+        lo = 32 * w
+        if lo >= start:
+            out[w] = 0xFFFFFFFF
+        elif lo + 32 > start:
+            out[w] = np.uint32(0xFFFFFFFF) << np.uint32(start - lo)
+    return out
+
+
+def _packed_lanes(pw, nm, lens, *, U: int, L: int, WA: int, NB: int):
+    """Pack-domain lane build DIRECTLY from the H2D 2-bit words —
+    replaces unpacking to (B, L) u8 codes and re-packing to aligned
+    words (the old s0 built ~(B2, NB) u8/u32 intermediates; this is
+    ~20 word-level VPU ops on (B, L/16) arrays).
+
+    pw: (B, Wp) u32 LSB-first 2-bit base words (N packed as base 0),
+    nm: (B, Wn) u32 LSB-first N bitmask — pipeline._pack_reads layout.
+    U = uniform read length (static; RC lanes are a static flip).
+
+    Returns (aw, nmask, has_n, olens) for the fused [fwd; rc] lane
+    block: aw (B2, WA) u32 MSB-first aligned words (A-substituted),
+    nmask (B2, NB//32) u32 (bit = N or position >= len), has_n (B2,)."""
+    U32 = jnp.uint32
+    B = pw.shape[0]
+    Wp = pw.shape[1]
+    Wn = nm.shape[1]
+    NW = NB // 32
+    olen1 = lens.astype(jnp.int32)
+
+    # ---- forward lanes: aw = per-word group reversal of pw ----
+    aw_f = _grprev32(pw)
+    if WA > Wp:
+        aw_f = jnp.concatenate(
+            [aw_f, jnp.zeros((B, WA - Wp), U32)], axis=1)
+    else:
+        aw_f = aw_f[:, :WA]
+    # H2D nm already covers N and the code-4 padding in [len, L);
+    # extend with the static >= L region up to NB
+    padL = jnp.asarray(_pad_bits_mask(NW, L))[None, :]
+    if NW > Wn:
+        nm_f = jnp.concatenate([nm, jnp.zeros((B, NW - Wn), U32)], axis=1)
+    else:
+        nm_f = nm[:, :NW]
+    nm_f = nm_f | padL
+
+    # ---- reverse-complement lanes (static flip, length U) ----
+    Wr = (U + 15) // 16
+    pad = 16 * Wr - U
+    # base-order reversal of the first Wr words (LSB domain)
+    pwr = [_grprev32(pw[:, Wr - 1 - w]) for w in range(Wr)]
+    pwr.append(jnp.zeros(B, U32))
+    if pad:
+        sh = U32(2 * pad)
+        pws = [
+            (pwr[w] >> sh) | (pwr[w + 1] << (U32(32) - sh))
+            for w in range(Wr)
+        ]
+    else:
+        pws = pwr[:Wr]
+    pwc = jnp.stack(pws, axis=1)
+    # rc N bitmask: full bit reversal of the first Wn' words + shift
+    Wnr = (U + 31) // 32
+    padn = 32 * Wnr - U
+    nmr = [_bitrev32(nm[:, Wnr - 1 - w]) for w in range(Wnr)]
+    nmr.append(jnp.zeros(B, U32))
+    if padn:
+        shn = U32(padn)
+        nms = [
+            (nmr[w] >> shn) | (nmr[w + 1] << (U32(32) - shn))
+            for w in range(Wnr)
+        ]
+    else:
+        nms = nmr[:Wnr]
+    nm_rc = jnp.stack(nms, axis=1)
+    if NW > Wnr:
+        nm_rc = jnp.concatenate(
+            [nm_rc, jnp.zeros((B, NW - Wnr), U32)], axis=1)
+    padU = jnp.asarray(_pad_bits_mask(NW, U))[None, :]
+    nm_rc = nm_rc | padU
+    # complement (v -> 3-v == v ^ 3 per group); then zero everything
+    # at/after U (static) and every N group (A-substitution)
+    pwc = ~pwc
+    # per-word static keep mask for bases < U (2 bits per base,
+    # LSB-first): base m of word w is at bits [2m, 2m+1]
+    keep = np.zeros(Wr, np.uint32)
+    for w in range(Wr):
+        nb_w = min(max(U - 16 * w, 0), 16)
+        keep[w] = (
+            0xFFFFFFFF if nb_w == 16
+            else ((np.uint32(1) << np.uint32(2 * nb_w)) - 1)
+        )
+    pwc = pwc & jnp.asarray(keep)[None, :]
+    # clear N groups: expand each 16-bit half of the rc N mask
+    nhalf = []
+    for w in range(Wr):
+        src = nm_rc[:, w // 2]
+        nhalf.append(src >> U32(16) if (w & 1) else src)
+    nbits = jnp.stack(nhalf, axis=1)
+    pwc = pwc & ~_morton2(nbits)
+    aw_r = _grprev32(pwc)
+    if WA > Wr:
+        aw_r = jnp.concatenate(
+            [aw_r, jnp.zeros((B, WA - Wr), U32)], axis=1)
+
+    aw = jnp.concatenate([aw_f, aw_r], axis=0)
+    nmask = jnp.concatenate([nm_f, nm_rc], axis=0)
+    # has_n: any N inside [0, len) — identical for fwd and rc lanes
+    col = jnp.arange(Wn, dtype=jnp.int32)[None, :] * 32
+    nb_in = jnp.minimum(jnp.maximum(olen1[:, None] - col, 0), 32)
+    inmask = jnp.where(
+        nb_in >= 32,
+        U32(0xFFFFFFFF),
+        (U32(1) << jnp.minimum(nb_in, 31).astype(U32)) - U32(1),
+    )
+    h1 = ((nm & inmask) != 0).any(axis=1)
+    has_n = jnp.concatenate([h1, h1], axis=0)
+    olens = jnp.concatenate([olen1, olen1], axis=0)
+    return aw, nmask, has_n, olens
+
+
 def map_oriented_lanes_pallas(
     text_pallas: dict,
     codes: jnp.ndarray,   # (B, L) u8 reads
@@ -905,6 +1059,7 @@ def map_oriented_lanes_pallas(
     filt_access: str | None = None,
     w16_bits: int | None = None,
     filtxl_bits: int | None = None,
+    packed: tuple | None = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -987,8 +1142,15 @@ def map_oriented_lanes_pallas(
     # always-passed-but-unused array gets PRUNED from the compiled
     # executable, and the persistent compilation cache can then hand an
     # executable whose buffer list doesn't match the caller's
+    use_packed = (
+        packed is not None
+        and uniform_len is not None
+        and xscan
+        and os.environ.get("SF_PACKED_LANES", "1") == "1"
+    )
+    pw_h2d, nm_h2d = packed if use_packed else (None, None)
     return _map_lanes_pallas_jit(
-        codes, lens,
+        codes, lens, pw_h2d, nm_h2d,
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"], text_pallas["filt_rows"],
         (text_pallas.get("w16_rows") if w16_bits else None),
@@ -1030,7 +1192,8 @@ def map_oriented_lanes_pallas(
                      "xscan_t1", "xscan_p2", "xscan_b", "filtxl_bits"),
 )
 def _map_lanes_pallas_jit(
-    codes, lens, text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
+    codes, lens, pw_h2d, nm_h2d,
+    text_rows, sa_rows, ht_rows, filt_rows, w16_rows,
     pk_rows, ht16, filtxl_rows, sa_ov,
     *,
     k: int,
@@ -1084,7 +1247,15 @@ def _map_lanes_pallas_jit(
     def compl(x):
         return jnp.where(x < 4, jnp.uint8(3) - x, jnp.uint8(4))
 
-    if uniform_len is not None:
+    if pw_h2d is not None:
+        # pack-domain lane build straight from the H2D 2-bit words —
+        # ~20 word-level VPU ops on (B, L/16) arrays instead of
+        # building (B2, NB) u8/u32 intermediates (and XLA dead-code
+        # eliminates the caller's unpack of `codes`)
+        aw, nmask, has_n, olens = _packed_lanes(
+            pw_h2d, nm_h2d, lens, U=uniform_len, L=L, WA=WA, NB=NB)
+        oc = None
+    elif uniform_len is not None:
         # static flip — no per-element gather
         rc = compl(codes[:, :uniform_len][:, ::-1])
         if uniform_len < L:
@@ -1096,26 +1267,27 @@ def _map_lanes_pallas_jit(
         src = lens.astype(jnp.int32)[:, None] - 1 - j
         rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
         rc = jnp.where(src >= 0, compl(rc), jnp.uint8(4))
-    oc = jnp.concatenate([codes, rc], axis=0)            # (B2, L) u8
-    olens = jnp.concatenate([lens, lens]).astype(jnp.int32)
+    if pw_h2d is None:
+        oc = jnp.concatenate([codes, rc], axis=0)        # (B2, L) u8
+        olens = jnp.concatenate([lens, lens]).astype(jnp.int32)
 
-    # ---- pack-domain lane arrays ----
-    ocp = jnp.concatenate(
-        [oc, jnp.full((B2, NB - L), 4, jnp.uint8)], axis=1
-    )                                                     # (B2, NB)
-    subv = jnp.where(ocp >= 4, jnp.uint8(0), ocp).astype(jnp.uint32)
-    vv = subv.reshape(B2, WA, 16)
-    aw = jnp.zeros((B2, WA), jnp.uint32)
-    for jj in range(16):
-        aw = (aw << jnp.uint32(2)) | vv[:, :, jj]
-    nbv = (ocp >= 4).reshape(B2, NB // 32, 32)
-    nmask = jnp.zeros((B2, NB // 32), jnp.uint32)
-    for jj in range(32):
-        nmask = nmask | (
-            nbv[:, :, jj].astype(jnp.uint32) << jnp.uint32(jj)
-        )
-    colL = jnp.arange(L, dtype=jnp.int32)[None, :]
-    has_n = ((oc >= 4) & (colL < olens[:, None])).any(axis=1)
+        # ---- pack-domain lane arrays ----
+        ocp = jnp.concatenate(
+            [oc, jnp.full((B2, NB - L), 4, jnp.uint8)], axis=1
+        )                                                 # (B2, NB)
+        subv = jnp.where(ocp >= 4, jnp.uint8(0), ocp).astype(jnp.uint32)
+        vv = subv.reshape(B2, WA, 16)
+        aw = jnp.zeros((B2, WA), jnp.uint32)
+        for jj in range(16):
+            aw = (aw << jnp.uint32(2)) | vv[:, :, jj]
+        nbv = (ocp >= 4).reshape(B2, NB // 32, 32)
+        nmask = jnp.zeros((B2, NB // 32), jnp.uint32)
+        for jj in range(32):
+            nmask = nmask | (
+                nbv[:, :, jj].astype(jnp.uint32) << jnp.uint32(jj)
+            )
+        colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+        has_n = ((oc >= 4) & (colL < olens[:, None])).any(axis=1)
 
     # ---- 16-mer lane screen (semantics-preserving lane skip) ----
     # A quasi-mapping hit needs an exact k-mer seed; a present k-mer
@@ -1216,7 +1388,8 @@ def _map_lanes_pallas_jit(
         # production prefix B2/4 covers any realistic residual — a
         # pathological overflow (live residual beyond PK) marks those
         # fragments overflow, which the escalation pass remaps exactly.
-        PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // 8, LB)
+        pk_div = int(os.environ.get("SF_PK_DIV", "8"))
+        PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // pk_div, LB)
         livek = kl_k > 0
         live2 = livek.sum().astype(jnp.int32)
         order2 = jnp.argsort(~livek, stable=True)

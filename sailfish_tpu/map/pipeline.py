@@ -450,7 +450,8 @@ class DeviceMapperBackend:
         return self.text
 
     def _map_lanes(self, codes: np.ndarray, lens: np.ndarray,
-                   uniform_len: int | None = None, text: dict | None = None):
+                   uniform_len: int | None = None, text: dict | None = None,
+                   packed=None):
         opts = self.opts
         scan_budget = opts.effective_scan_steps(codes.shape[1])
         if text is None:
@@ -466,6 +467,7 @@ class DeviceMapperBackend:
             hits = map_oriented_lanes_pallas(
                 text,
                 jnp.asarray(codes), jnp.asarray(lens),
+                packed=packed,
                 k=self.k,
                 cand_cap=opts.hit_capacity,
                 max_mmps=opts.max_mmps,
@@ -625,8 +627,10 @@ class DeviceMapperBackend:
                     cc = jnp.concatenate([c1, c2], axis=0)
                     ll = jnp.concatenate([l1, l2])
                     uf = ul1 if ul1 == ul2 else None
+                    pk = (jnp.concatenate([p1, p2], axis=0),
+                          jnp.concatenate([n1, n2], axis=0))
                     fw, rc = self._map_lanes(cc, ll, uniform_len=uf,
-                                             text=text)
+                                             text=text, packed=pk)
 
                     def part(d, sl):
                         return {k: v[sl] for k, v in d.items()}
@@ -636,9 +640,9 @@ class DeviceMapperBackend:
                           part(rc, slice(B, 2 * B)))
                 else:
                     h1 = self._map_lanes(c1, l1, uniform_len=ul1,
-                                         text=text)
+                                         text=text, packed=(p1, n1))
                     h2 = self._map_lanes(c2, l2, uniform_len=ul2,
-                                         text=text)
+                                         text=text, packed=(p2, n2))
                 return self._tail(h1, h2, l1, l2, expected,
                                   paired_end=True, bias_text=bias_text)
 
@@ -719,7 +723,8 @@ class DeviceMapperBackend:
         if fn is None:
             def step(text, bias_text, p1, n1, l1):
                 c1 = _unpack_reads(p1, n1, L1)
-                h1 = self._map_lanes(c1, l1, uniform_len=ul1, text=text)
+                h1 = self._map_lanes(c1, l1, uniform_len=ul1, text=text,
+                                     packed=(p1, n1))
                 return self._tail(h1, h1, l1, l1, expected,
                                   paired_end=False, bias_text=bias_text)
 

@@ -79,3 +79,60 @@ def test_pallas_backend_matches_oracle(toy_world):
     np.testing.assert_array_equal(
         bp.frag_lens[bp.unique_paired], br.frag_lens[br.unique_paired]
     )
+
+
+def test_packed_lane_build_matches_codes_path(toy_world):
+    """The pack-domain lane build from H2D 2-bit words (packed=...)
+    must produce bit-identical mapping output to the u8-codes lane
+    build, including N reads, errors, uniform-length RC flip, and the
+    xscan production config (full scan budget)."""
+    import os
+
+    from sailfish_tpu.map.pipeline import _pack_reads
+
+    idx = toy_world["idx"]
+    dev = DeviceMapperBackend(idx, QuantOpts())
+    rng = np.random.default_rng(11)
+    B, L = 64, 56
+    U = 50
+    codes = np.full((B, L), 4, np.uint8)
+    lens = np.full(B, U, np.int32)
+    for i in range(B):
+        s = toy_world["seqs"][i % len(toy_world["seqs"])]
+        p = int(rng.integers(0, len(s) - U))
+        m = s[p : p + U].copy()
+        if i % 3 == 0:
+            q = int(rng.integers(0, U))
+            m[q] = (m[q] + 1) % 4
+        if i % 7 == 0:
+            m[int(rng.integers(0, U))] = 4  # N base
+        if i % 5 == 0:  # revcomp reads exercise the RC lane block
+            m = (3 - m[::-1]).astype(np.uint8)
+            m[m > 3] = 4
+        codes[i, :U] = m
+    # a couple of dead padding rows like _pad_batch produces
+    codes[B - 2 :] = 4
+    lens[B - 2 :] = 0
+    pw, nm = _pack_reads(codes)
+    pt = prepare_pallas_text(idx, cand_cap=16)
+    kw = dict(
+        k=idx.k, cand_cap=16, max_mmps=4, max_steps=L,
+        ht_bits=dev.ht_bits, ht_probes=dev.ht_probes, interpret=True,
+        uniform_len=U,
+    )
+    os.environ["SF_PACKED_LANES"] = "1"
+    res_p = map_oriented_lanes_pallas(
+        pt, jnp.asarray(codes), jnp.asarray(lens),
+        packed=(jnp.asarray(pw), jnp.asarray(nm)), **kw,
+    )
+    res_c = map_oriented_lanes_pallas(
+        pt, jnp.asarray(codes), jnp.asarray(lens), **kw,
+    )
+    for key in ("valid", "txp", "pos", "mlen", "overflow",
+                "num_mapped_loci"):
+        a, b = np.asarray(res_p[key]), np.asarray(res_c[key])
+        if key in ("txp", "pos"):
+            va = np.asarray(res_p["valid"])
+            np.testing.assert_array_equal(a[va], b[va], err_msg=key)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=key)
