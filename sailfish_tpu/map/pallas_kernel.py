@@ -1451,28 +1451,30 @@ def _map_lanes_pallas_jit(
         xt, xp, xv = _intersect_sort(
             xs_txp, xs_pin, xs_vld, xs_nm, C=xscan_f, M=M
         )
-        if C > xscan_f:
-            padc = ((0, 0), (0, C - xscan_f))
-            xt = jnp.pad(xt, padc)
-            xp = jnp.pad(xp, padc)
-            xv = jnp.pad(xv, padc)
         kt, kp, kv = _intersect_sort(
             gk_txp, gk_pin, gk_vld, gk_meta[:, 0], C=C, M=M
         )
 
-        txp0 = jnp.zeros((B2, C), jnp.int32)
-        pos0 = jnp.zeros((B2, C), jnp.int32)
-        vld0 = jnp.zeros((B2, C), bool)
+        Fx = min(xscan_f, C)
         mlen0 = jnp.zeros(B2, jnp.int32)
         over0 = jnp.zeros(B2, bool)
         nml0 = jnp.zeros(B2, jnp.int32)
 
         # xscan rows first (punted rows write partial state, then the
         # kernel scatter overwrites them — punts are always in the
-        # kernel set)
-        txp0 = txp0.at[oP].set(xt)
-        pos0 = pos0.at[oP].set(xp)
-        vld0 = vld0.at[oP].set(xv)
+        # kernel set).  The xscan emits at most F candidates, so only
+        # an (B2, F) sub-slab is scattered; columns F..C-1 are zero
+        # except where the kernel's full-width rows land below.
+        def widen(sub, fill):
+            ext = jnp.full((B2, C - Fx), fill, sub.dtype)
+            return jnp.concatenate([sub, ext], axis=1)
+
+        txp0 = widen(jnp.zeros((B2, Fx), jnp.int32).at[oP].set(
+            xt[:, :Fx]), 0)
+        pos0 = widen(jnp.zeros((B2, Fx), jnp.int32).at[oP].set(
+            xp[:, :Fx]), 0)
+        vld0 = widen(jnp.zeros((B2, Fx), bool).at[oP].set(
+            xv[:, :Fx]), False)
         mlen0 = mlen0.at[oP].set(xs_mlen)
         over0 = over0.at[oP].set(xs_over)
         nml0 = nml0.at[oP].set(xv.sum(axis=1))
