@@ -153,6 +153,35 @@ def _add_quant_parser(sub):
                    "re-probe (reference parity, default), jump = restart "
                    "past the mismatch (faster, diverges on error-bearing "
                    "reads; see FIDELITY.md)")
+    # advanced fast-path tuning (kernel=pallas production path; every
+    # combination is bit-identical to defaults — the fast paths punt
+    # conservatively to the exact kernel)
+    adv = p.add_argument_group(
+        "advanced mapping tuning (bit-identical output; trades fast-path "
+        "coverage against the residual-kernel share)")
+    adv.add_argument("--noFastPath", action="store_true",
+                     help="disable the clean-lane fast path")
+    adv.add_argument("--noXscan", action="store_true",
+                     help="disable the vectorized NIP-scan state machine "
+                     "(all residual lanes go through the pallas kernel)")
+    adv.add_argument("--noLaneScreen", action="store_true",
+                     help="disable the 16-mer Bloom lane screen")
+    adv.add_argument("--noLaneCompact", action="store_true",
+                     help="disable live-lane compaction")
+    adv.add_argument("--noPackedLanes", action="store_true",
+                     help="build lanes from per-base codes instead of "
+                     "the 2-bit H2D words")
+    adv.add_argument("--xscanT", type=int, default=7,
+                     help="xscan full-event budget per lane")
+    adv.add_argument("--xscanF", type=int, default=4,
+                     help="xscan candidate slots (<= 8)")
+    adv.add_argument("--xscanT1", type=int, default=2,
+                     help="xscan light phase-A event budget")
+    adv.add_argument("--xscanP2", type=int, default=2,
+                     help="xscan phase-B compacted-prefix divisor")
+    adv.add_argument("--xscanSchedule", default="2:1,4:1,8:3",
+                     help="xscan phase-B narrowing schedule "
+                     "'div:steps,...'")
     return p
 
 
@@ -418,6 +447,16 @@ def _main_quant(args, argv) -> int:
         mmp_skip=args.mmpSkip,
         kernel=args.kernel,
         xla2_sweep_win=args.xla2SweepWin,
+        use_fastpath=not args.noFastPath,
+        use_xscan=not args.noXscan,
+        lane_screen=not args.noLaneScreen,
+        lane_compact=not args.noLaneCompact,
+        packed_lanes=not args.noPackedLanes,
+        xscan_t=args.xscanT,
+        xscan_f=args.xscanF,
+        xscan_t1=args.xscanT1,
+        xscan_p2=args.xscanP2,
+        xscan_schedule=args.xscanSchedule,
     )
 
     # echo the ordered invocation like cmd_info.json (reference :1263-1277)

@@ -145,6 +145,35 @@ class QuantOpts:
     dtype: str = "float64"         # EM dtype ("float64" on CPU golden
                                    # runs; "float32" on TPU)
 
+    # --- advanced mapping tuning (pallas/xscan production fast paths;
+    #     formerly the SF_* environment knobs, which remain available
+    #     only as debug overrides — see map/pallas_kernel.py).  All
+    #     combinations are bit-identical to defaults by construction
+    #     (each path punts conservatively to the exact kernel); the
+    #     schedule/budget knobs trade xscan coverage against the
+    #     residual-kernel share on unusual corpora. ---
+    use_fastpath: bool = True      # clean-lane fast path (unique-seed
+                                   # full-read verify, dense XLA)
+    use_xscan: bool = True         # vectorized NIP-scan state machine
+                                   # for residual lanes
+    lane_screen: bool = True       # 16-mer Bloom lane screen (provable
+                                   # zero-hit lanes enter with length 0)
+    lane_compact: bool = True      # compact live lanes before the
+                                   # kernel / xscan
+    packed_lanes: bool = True      # build lanes straight from the 2-bit
+                                   # H2D words (pack domain)
+    filt_access: str = "row"       # VMEM Bloom access variant in the
+                                   # pallas kernel ("row" | "scalar";
+                                   # scalar is rejected by Mosaic on v5e)
+    xscan_t: int = 7               # xscan full-event budget per lane
+    xscan_f: int = 4               # xscan candidate slots (<= 8)
+    xscan_t1: int = 2              # light phase-A event budget
+    xscan_p2: int = 2              # phase-B compacted-prefix divisor
+    xscan_schedule: str = "2:1,4:1,8:3"  # phase-B narrowing schedule
+                                   # "div:steps,..." — each segment runs
+                                   # `steps` full events on a P//div
+                                   # compacted prefix
+
     def effective_scan_steps(self, window_len: int) -> int:
         """The per-oriented-read probe-position budget: the configured
         cap, or (auto, the default) enough steps to scan to the read

@@ -91,3 +91,42 @@ def make_oriented_lanes(codes: jnp.ndarray, lens: jnp.ndarray, prefix_bases: int
         "valid16": valid16,
         "validP": validP,
     }
+
+
+def lanes_from_oriented(oc: jnp.ndarray, olens: jnp.ndarray,
+                        prefix_bases: int):
+    """Lane dict for rows that are ALREADY oriented (fwd/rc mixed, e.g.
+    a compacted residual prefix of the xlong path) — the same per-lane
+    arrays make_oriented_lanes builds, without the rc duplication."""
+    H, L = oc.shape
+    olens = olens.astype(jnp.int32)
+    pw_a = _pack_words(oc, sub=0)
+    qpref = (pw_a >> jnp.uint32(2 * (16 - prefix_bases))).astype(jnp.int32)
+
+    bad = oc >= 4
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    next_bad = jnp.where(bad, pos, L)
+    next_bad = jax.lax.cummin(next_bad, axis=1, reverse=True)
+    bad_dist = next_bad - pos
+
+    cbad = jnp.concatenate(
+        [jnp.zeros((H, 1), jnp.int32),
+         jnp.cumsum(bad.astype(jnp.int32), axis=1)], axis=1,
+    )
+    pad16 = jnp.concatenate(
+        [cbad, jnp.broadcast_to(cbad[:, -1:], (H, 16))], axis=1
+    )
+    valid16 = (pad16[:, 16 : 16 + L] - cbad[:, :L]) == 0
+    validP = (
+        pad16[:, prefix_bases : prefix_bases + L] - cbad[:, :L]
+    ) == 0
+
+    return {
+        "codes": oc,
+        "lens": olens,
+        "pw_a": pw_a,
+        "qpref": qpref,
+        "bad_dist": bad_dist,
+        "valid16": valid16,
+        "validP": validP,
+    }

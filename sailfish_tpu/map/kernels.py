@@ -105,6 +105,7 @@ def map_oriented_lanes(
     ht_bits: int = 0,
     skip_jump: bool = True,
     scan_shrink: int = 1,
+    shrink_exact: bool = False,
     axis_name: str | None = None,
 ):
     """When `axis_name` is set, the call runs under shard_map with the
@@ -354,11 +355,23 @@ def map_oriented_lanes(
             prio = jnp.where(active, jnp.where(nm > 0, 0, 1), 2)
             order = jnp.argsort(prio, stable=True).astype(jnp.int32)
             sel = order[:width]
-            # active lanes that did not fit simply STOP scanning — they
-            # keep the MMPs already recorded (equivalent to a per-lane
-            # adaptive step budget; mostly affects miss-scanning lanes
-            # that would find nothing anyway)
             spill = order[width:]
+            if shrink_exact:
+                # exact variant (xlong residual path): a still-active
+                # lane that does not fit the narrowed width is marked
+                # OVERFLOW (its partial MMPs are dropped by the caller's
+                # overflow handling and the escalation pass remaps it
+                # from scratch) instead of silently keeping a truncated
+                # hit set
+                sact = active[spill]
+                overflow = overflow.at[spill].set(
+                    overflow[spill] | sact)
+                m_vld = m_vld.at[spill].set(
+                    jnp.where(sact[:, None, None], False, m_vld[spill]))
+            # active lanes that did not fit STOP scanning — without
+            # shrink_exact they keep the MMPs already recorded
+            # (equivalent to a per-lane adaptive step budget; mostly
+            # affects miss-scanning lanes that would find nothing)
             i = i.at[spill].set(L)
             sub_ls = {kk: v[sel] for kk, v in laneset_full.items()}
             sub_state = (

@@ -1038,6 +1038,24 @@ def _packed_lanes(pw, nm, lens, *, U: int, L: int, WA: int, NB: int):
     return aw, nmask, has_n, olens
 
 
+def _env_bool(s):
+    return s not in ("0", "false", "False")
+
+
+def _knob(tuning, env, attr, default, conv):
+    """Tuning knobs live in QuantOpts (`tuning`; CLI --advanced flags).
+    The SF_* environment variables are DEBUG OVERRIDES only: an env var
+    that is explicitly set wins over the opts value, an unset one defers
+    to opts (or the documented default for direct callers that pass no
+    tuning)."""
+    v = os.environ.get(env)
+    if v is not None:
+        return conv(v)
+    if tuning is not None:
+        return getattr(tuning, attr)
+    return default
+
+
 def map_oriented_lanes_pallas(
     text_pallas: dict,
     codes: jnp.ndarray,   # (B, L) u8 reads
@@ -1060,6 +1078,7 @@ def map_oriented_lanes_pallas(
     w16_bits: int | None = None,
     filtxl_bits: int | None = None,
     packed: tuple | None = None,
+    tuning: "QuantOpts | None" = None,
 ):
     """Full per-lane mapping via the Pallas scan + XLA post-pass.
 
@@ -1075,21 +1094,26 @@ def map_oriented_lanes_pallas(
     B, L = codes.shape
     if L > WINR:
         raise ValueError(f"pallas path supports reads up to {WINR} bases")
+
+    def knob(env, attr, default, conv):
+        return _knob(tuning, env, attr, default, conv)
+
+    _b = _env_bool
     if filt_access is None:
         # "row": dynamic unaligned (1,128) VMEM row load + one roll —
         # the cheapest variant Mosaic accepts on v5e.  ("scalar"
         # dynamic VMEM indexing is rejected on hardware: lane-dimension
         # indices must be statically 128-aligned.)
-        filt_access = os.environ.get("SF_FILT_ACCESS", "row")
+        filt_access = knob("SF_FILT_ACCESS", "filt_access", "row", str)
     if w16_bits is None:
         w16_bits = text_pallas.get("w16_bits", 0)
-    if os.environ.get("SF_LANE_SCREEN", "1") == "0":
+    if not knob("SF_LANE_SCREEN", "lane_screen", True, _b):
         w16_bits = 0
-    compact_lanes = os.environ.get("SF_LANE_COMPACT", "1") == "1"
+    compact_lanes = knob("SF_LANE_COMPACT", "lane_compact", True, _b)
     # clean-lane fast path: requires the prepared pk_rows/ht16 arrays
     # (older callers may pass a reduced dict) and the post-pass
     fastpath = (
-        os.environ.get("SF_FASTPATH", "1") == "1"
+        knob("SF_FASTPATH", "use_fastpath", True, _b)
         and "pk_rows" in text_pallas
         and postpass
     )
@@ -1103,7 +1127,7 @@ def map_oriented_lanes_pallas(
         and compact_lanes
         and "filtxl_rows" in text_pallas
         and "sa_ov" in text_pallas
-        and os.environ.get("SF_XSCAN", "1") == "1"
+        and knob("SF_XSCAN", "use_xscan", True, _b)
         and max_steps >= (L - k + 1)
         and 17 <= k <= 31
         and fb > 0
@@ -1111,17 +1135,18 @@ def map_oriented_lanes_pallas(
     # T=7: the light phase A can spend an event deferring a chained /
     # multi-candidate probe to phase B, so error lanes need one more
     # event than the old all-full schedule
-    xscan_t = int(os.environ.get("SF_XSCAN_T", "7"))
-    xscan_f = min(int(os.environ.get("SF_XSCAN_F", "4")), 8, cand_cap)
-    xscan_t1 = int(os.environ.get("SF_XSCAN_T1", "2"))
-    xscan_p2 = int(os.environ.get("SF_XSCAN_P2", "2"))
+    xscan_t = knob("SF_XSCAN_T", "xscan_t", 7, int)
+    xscan_f = min(knob("SF_XSCAN_F", "xscan_f", 4, int), 8, cand_cap)
+    xscan_t1 = knob("SF_XSCAN_T1", "xscan_t1", 2, int)
+    xscan_p2 = knob("SF_XSCAN_P2", "xscan_p2", 2, int)
     # phase-B narrowing schedule "div:steps,div:steps,..." — each
     # segment runs `steps` full events on a P//div compacted prefix
     # (measured decay on the bench world: most lanes finish in their
     # first full event, so later events run at a fraction of the width)
     xscan_b = tuple(
         tuple(int(x) for x in seg.split(":"))
-        for seg in os.environ.get("SF_XSCAN_B", "2:1,4:1,8:3").split(",")
+        for seg in knob("SF_XSCAN_B", "xscan_schedule",
+                        "2:1,4:1,8:3", str).split(",")
         if seg
     )
     # Workaround for a jax executable-reuse bug: calling the jitted
@@ -1146,11 +1171,15 @@ def map_oriented_lanes_pallas(
         packed is not None
         and uniform_len is not None
         and xscan
-        and os.environ.get("SF_PACKED_LANES", "1") == "1"
+        and knob("SF_PACKED_LANES", "packed_lanes", True, _b)
     )
     pw_h2d, nm_h2d = packed if use_packed else (None, None)
+    # when packed, `codes` would be a passed-but-DCE-pruned argument —
+    # the exact pruned-arg + persistent-cache buffer-mismatch hazard the
+    # feature-gated Nones above exist to avoid — so it rides as None and
+    # its width rides as the static L_pad instead
     return _map_lanes_pallas_jit(
-        codes, lens, pw_h2d, nm_h2d,
+        (None if use_packed else codes), lens, pw_h2d, nm_h2d,
         text_pallas["text_rows"], text_pallas["sa_rows"],
         text_pallas["ht_rows"], text_pallas["filt_rows"],
         (text_pallas.get("w16_rows") if w16_bits else None),
@@ -1162,6 +1191,7 @@ def map_oriented_lanes_pallas(
         ht_bits=ht_bits, ht_probes=ht_probes, skip_jump=skip_jump,
         n_text=(n_text if n_text is not None
                 else text_pallas["n_text"]),
+        L_pad=codes.shape[1],
         interpret=interpret,
         phases=phases, postpass=postpass, uniform_len=uniform_len,
         filt_bits=(filt_bits if filt_bits is not None
@@ -1182,6 +1212,118 @@ def map_oriented_lanes_pallas(
     )
 
 
+def _build_lanes(codes, pw_h2d, nm_h2d, lens, uniform_len, L):
+    """Oriented [fwd; rc] pack-domain lane arrays from either the H2D
+    2-bit words (pw_h2d/nm_h2d; codes may be None) or per-base u8 codes.
+    Returns (aw, nmask, has_n, olens, oc, WA, NB); oc is the (B2, L) u8
+    code block (None on the packed path, where nothing needs it)."""
+    B = lens.shape[0]
+    B2 = 2 * B
+    # aligned words: enough for pos_words funnels (read + 16-base
+    # lookahead) and for the 8-word fast-path verify; even so the
+    # N-bitmask packs to whole 32-bit words
+    WA = max((L + 15) // 16 + 2, 9)
+    WA = WA + (WA & 1)
+    NB = 16 * WA
+
+    # complement arithmetically (A<->T, C<->G, N(4) fixed) — a 5-entry
+    # table lookup would be an elementwise gather, slow on TPU
+    def compl(x):
+        return jnp.where(x < 4, jnp.uint8(3) - x, jnp.uint8(4))
+
+    if pw_h2d is not None:
+        # pack-domain lane build straight from the H2D 2-bit words —
+        # ~20 word-level VPU ops on (B, L/16) arrays instead of
+        # building (B2, NB) u8/u32 intermediates (and XLA dead-code
+        # eliminates the caller's unpack of `codes`)
+        aw, nmask, has_n, olens = _packed_lanes(
+            pw_h2d, nm_h2d, lens, U=uniform_len, L=L, WA=WA, NB=NB)
+        return aw, nmask, has_n, olens, None, WA, NB
+    if uniform_len is not None:
+        # static flip — no per-element gather
+        rc = compl(codes[:, :uniform_len][:, ::-1])
+        if uniform_len < L:
+            rc = jnp.concatenate(
+                [rc, jnp.full((B, L - uniform_len), 4, jnp.uint8)], axis=1
+            )
+    else:
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        src = lens.astype(jnp.int32)[:, None] - 1 - j
+        rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
+        rc = jnp.where(src >= 0, compl(rc), jnp.uint8(4))
+    oc = jnp.concatenate([codes, rc], axis=0)            # (B2, L) u8
+    olens = jnp.concatenate([lens, lens]).astype(jnp.int32)
+
+    # ---- pack-domain lane arrays ----
+    ocp = jnp.concatenate(
+        [oc, jnp.full((B2, NB - L), 4, jnp.uint8)], axis=1
+    )                                                     # (B2, NB)
+    subv = jnp.where(ocp >= 4, jnp.uint8(0), ocp).astype(jnp.uint32)
+    vv = subv.reshape(B2, WA, 16)
+    aw = jnp.zeros((B2, WA), jnp.uint32)
+    for jj in range(16):
+        aw = (aw << jnp.uint32(2)) | vv[:, :, jj]
+    nbv = (ocp >= 4).reshape(B2, NB // 32, 32)
+    nmask = jnp.zeros((B2, NB // 32), jnp.uint32)
+    for jj in range(32):
+        nmask = nmask | (
+            nbv[:, :, jj].astype(jnp.uint32) << jnp.uint32(jj)
+        )
+    colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    has_n = ((oc >= 4) & (colL < olens[:, None])).any(axis=1)
+    return aw, nmask, has_n, olens, oc, WA, NB
+
+
+def _screen16(aw, olens, w16_rows, w16_bits, *, L: int, k: int):
+    """16-mer lane screen (semantics-preserving lane skip).
+
+    A quasi-mapping hit needs an exact k-mer seed; a present k-mer
+    implies every contained 16-mer word present in the text.  Testing
+    one word per stride <= k-15 therefore covers every k-mer window:
+    a lane whose tested words are ALL Bloom-absent provably has zero
+    hits and is fed length 0.  Bloom false positives only admit a
+    lane that then finds nothing."""
+    if not (w16_bits > 0 and L >= 16 and k >= 16 + 1):
+        return olens
+    stride = min(16, k - 15)
+    ps = list(range(0, L - 16 + 1, stride))
+
+    def word_at(p):
+        w, o = p >> 4, p & 15
+        if o == 0:
+            return aw[:, w]
+        return ((aw[:, w] << jnp.uint32(2 * o))
+                | (aw[:, w + 1] >> jnp.uint32(32 - 2 * o)))
+
+    keys = jnp.stack([word_at(p) for p in ps], axis=1)  # (B2, T)
+    # single-word blocked layout (index/kmerhash.build_word16_bloom):
+    # word index from mix_hash_u32(key, 0), both probe bits from
+    # disjoint 5-bit fields of filter_hash2_u32(key, 0) — ONE
+    # gather per tested position instead of two
+    wm = jnp.uint32((1 << w16_bits) // 32 - 1)
+    h1 = keys * jnp.uint32(0x9E3779B1)
+    h1 = h1 ^ (h1 >> jnp.uint32(15))
+    h1 = h1 * jnp.uint32(0xC2B2AE3D)
+    h1 = (h1 ^ (h1 >> jnp.uint32(13))) & wm
+    # filter_hash2_u32(key, 0)
+    h2 = keys * jnp.uint32(0x165667B1)
+    h2 = h2 ^ (h2 >> jnp.uint32(16))
+    h2 = h2 * jnp.uint32(0x7FEB352D)
+    h2 = h2 ^ (h2 >> jnp.uint32(11))
+
+    v = w16_rows[h1.astype(jnp.int32)]
+    present = (
+        (v >> (h2 & jnp.uint32(31)).astype(jnp.int32))
+        & (v >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)).astype(
+            jnp.int32))
+        & 1
+    ) == 1
+    valid = (jnp.asarray(ps, jnp.int32)[None, :] + 16
+             <= olens[:, None])
+    keep = jnp.any(present & valid, axis=1)
+    return jnp.where(keep, olens, 0)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "cand_cap", "max_mmps", "max_steps", "ht_bits",
@@ -1189,7 +1331,8 @@ def map_oriented_lanes_pallas(
                      "phases", "postpass", "uniform_len", "filt_bits",
                      "filt_access", "w16_bits", "compact_lanes",
                      "fastpath", "xscan", "xscan_t", "xscan_f",
-                     "xscan_t1", "xscan_p2", "xscan_b", "filtxl_bits"),
+                     "xscan_t1", "xscan_p2", "xscan_b", "filtxl_bits",
+                     "L_pad"),
 )
 def _map_lanes_pallas_jit(
     codes, lens, pw_h2d, nm_h2d,
@@ -1220,6 +1363,7 @@ def _map_lanes_pallas_jit(
     xscan_p2: int = 2,
     xscan_b: tuple = (),
     filtxl_bits: int = 0,
+    L_pad: int | None = None,
 ):
     """Oriented-lane mapping: pack-domain lane pipeline (round 4).
 
@@ -1233,108 +1377,14 @@ def _map_lanes_pallas_jit(
     from .kernels import NEG
     from .xscan import pos_words
 
-    B, L = codes.shape
-    B2 = 2 * B
-    # aligned words: enough for pos_words funnels (read + 16-base
-    # lookahead) and for the 8-word fast-path verify; even so the
-    # N-bitmask packs to whole 32-bit words
-    WA = max((L + 15) // 16 + 2, 9)
-    WA = WA + (WA & 1)
-    NB = 16 * WA
-
-    # complement arithmetically (A<->T, C<->G, N(4) fixed) — a 5-entry
-    # table lookup would be an elementwise gather, slow on TPU
-    def compl(x):
-        return jnp.where(x < 4, jnp.uint8(3) - x, jnp.uint8(4))
-
-    if pw_h2d is not None:
-        # pack-domain lane build straight from the H2D 2-bit words —
-        # ~20 word-level VPU ops on (B, L/16) arrays instead of
-        # building (B2, NB) u8/u32 intermediates (and XLA dead-code
-        # eliminates the caller's unpack of `codes`)
-        aw, nmask, has_n, olens = _packed_lanes(
-            pw_h2d, nm_h2d, lens, U=uniform_len, L=L, WA=WA, NB=NB)
-        oc = None
-    elif uniform_len is not None:
-        # static flip — no per-element gather
-        rc = compl(codes[:, :uniform_len][:, ::-1])
-        if uniform_len < L:
-            rc = jnp.concatenate(
-                [rc, jnp.full((B, L - uniform_len), 4, jnp.uint8)], axis=1
-            )
+    if codes is None:          # packed path: codes ride as 2-bit words
+        B, L = lens.shape[0], L_pad
     else:
-        j = jnp.arange(L, dtype=jnp.int32)[None, :]
-        src = lens.astype(jnp.int32)[:, None] - 1 - j
-        rc = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
-        rc = jnp.where(src >= 0, compl(rc), jnp.uint8(4))
-    if pw_h2d is None:
-        oc = jnp.concatenate([codes, rc], axis=0)        # (B2, L) u8
-        olens = jnp.concatenate([lens, lens]).astype(jnp.int32)
-
-        # ---- pack-domain lane arrays ----
-        ocp = jnp.concatenate(
-            [oc, jnp.full((B2, NB - L), 4, jnp.uint8)], axis=1
-        )                                                 # (B2, NB)
-        subv = jnp.where(ocp >= 4, jnp.uint8(0), ocp).astype(jnp.uint32)
-        vv = subv.reshape(B2, WA, 16)
-        aw = jnp.zeros((B2, WA), jnp.uint32)
-        for jj in range(16):
-            aw = (aw << jnp.uint32(2)) | vv[:, :, jj]
-        nbv = (ocp >= 4).reshape(B2, NB // 32, 32)
-        nmask = jnp.zeros((B2, NB // 32), jnp.uint32)
-        for jj in range(32):
-            nmask = nmask | (
-                nbv[:, :, jj].astype(jnp.uint32) << jnp.uint32(jj)
-            )
-        colL = jnp.arange(L, dtype=jnp.int32)[None, :]
-        has_n = ((oc >= 4) & (colL < olens[:, None])).any(axis=1)
-
-    # ---- 16-mer lane screen (semantics-preserving lane skip) ----
-    # A quasi-mapping hit needs an exact k-mer seed; a present k-mer
-    # implies every contained 16-mer word present in the text.  Testing
-    # one word per stride <= k-15 therefore covers every k-mer window:
-    # a lane whose tested words are ALL Bloom-absent provably has zero
-    # hits and is fed length 0.  Bloom false positives only admit a
-    # lane that then finds nothing.
-    klens = olens
-    if w16_bits > 0 and L >= 16 and k >= 16 + 1:
-        stride = min(16, k - 15)
-        ps = list(range(0, L - 16 + 1, stride))
-
-        def word_at(p):
-            w, o = p >> 4, p & 15
-            if o == 0:
-                return aw[:, w]
-            return ((aw[:, w] << jnp.uint32(2 * o))
-                    | (aw[:, w + 1] >> jnp.uint32(32 - 2 * o)))
-
-        keys = jnp.stack([word_at(p) for p in ps], axis=1)  # (B2, T)
-        # single-word blocked layout (index/kmerhash.build_word16_bloom):
-        # word index from mix_hash_u32(key, 0), both probe bits from
-        # disjoint 5-bit fields of filter_hash2_u32(key, 0) — ONE
-        # gather per tested position instead of two
-        wm = jnp.uint32((1 << w16_bits) // 32 - 1)
-        h1 = keys * jnp.uint32(0x9E3779B1)
-        h1 = h1 ^ (h1 >> jnp.uint32(15))
-        h1 = h1 * jnp.uint32(0xC2B2AE3D)
-        h1 = (h1 ^ (h1 >> jnp.uint32(13))) & wm
-        # filter_hash2_u32(key, 0)
-        h2 = keys * jnp.uint32(0x165667B1)
-        h2 = h2 ^ (h2 >> jnp.uint32(16))
-        h2 = h2 * jnp.uint32(0x7FEB352D)
-        h2 = h2 ^ (h2 >> jnp.uint32(11))
-
-        v = w16_rows[h1.astype(jnp.int32)]
-        present = (
-            (v >> (h2 & jnp.uint32(31)).astype(jnp.int32))
-            & (v >> ((h2 >> jnp.uint32(5)) & jnp.uint32(31)).astype(
-                jnp.int32))
-            & 1
-        ) == 1
-        valid = (jnp.asarray(ps, jnp.int32)[None, :] + 16
-                 <= olens[:, None])
-        keep = jnp.any(present & valid, axis=1)
-        klens = jnp.where(keep, olens, 0)
+        B, L = codes.shape
+    B2 = 2 * B
+    aw, nmask, has_n, olens, oc, WA, NB = _build_lanes(
+        codes, pw_h2d, nm_h2d, lens, uniform_len, L)
+    klens = _screen16(aw, olens, w16_rows, w16_bits, L=L, k=k)
 
     # ---- clean-lane fast path ----
     # resolve unique-seed full-length-match lanes entirely in XLA (one
@@ -1671,6 +1721,13 @@ def _fastpath_clean(
     hmask = jnp.int32((1 << ht_bits) - 1)
     S = ht16.shape[0]
     Rw = pk_rows.shape[0]
+    # width-generic verify: PKD data words per pk row serve up to
+    # PKD - 8 read words (offset < 8); 17-wide rows -> 8 words (128bp),
+    # 25-wide rows -> 16 words (256bp, xlong).  Compare only the words
+    # the lanes actually carry (WA - 1 covers any klens <= 16*(WA-2))
+    PKD = pk_rows.shape[1] - 1
+    RW = min(PKD - 8, aw.shape[1] - 1)
+    WSEL = RW + 1
 
     k0 = aw[:, 0]
     k1 = aw[:, 1] >> U32(2 * (32 - k))
@@ -1697,29 +1754,30 @@ def _fastpath_clean(
 
     pc = jnp.clip(p, 0, n_text - 1)
     w0 = pc >> 4
-    # overlapped pk rows: the 9-word window at offset w0 & 7 sits in
-    # ONE row (row r covers words 8r..8r+15; col 16 = flag bits)
-    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (B2, 17)
+    # overlapped pk rows: the WSEL-word window at offset w0 & 7 sits in
+    # ONE row (row r covers words 8r..8r+PKD-1; col PKD = flag bits)
+    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (B2, PKD + 1)
     d = w0 & 7
 
-    def select9(mat):
-        out = jnp.zeros((B2, 9), mat.dtype)
+    def selw(mat):
+        out = jnp.zeros((B2, WSEL), mat.dtype)
         for dd in range(8):
-            out = jnp.where((d == dd)[:, None], mat[:, dd : dd + 9], out)
+            out = jnp.where(
+                (d == dd)[:, None], mat[:, dd : dd + WSEL], out)
         return out
 
-    W9 = jax.lax.bitcast_convert_type(select9(ra[:, :16]), jnp.uint32)
+    W9 = jax.lax.bitcast_convert_type(selw(ra[:, :PKD]), jnp.uint32)
     # flag bit w covers word 8r+w; window word j is flag bit d + j
-    fb = ra[:, 16] >> d
-    S9 = jnp.stack([(fb >> jj) & 1 for jj in range(9)], axis=1)
+    fb = ra[:, PKD] >> d
+    S9 = jnp.stack([(fb >> jj) & 1 for jj in range(WSEL)], axis=1)
     o = pc & 15
     sh = (o * 2).astype(jnp.uint32)[:, None]
     awin = jnp.where(
         (o == 0)[:, None],
-        W9[:, 0:8],
-        (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
-    )                                                    # (B2, 8)
-    rw = aw[:, 0:8]                                      # (B2, 8)
+        W9[:, 0:RW],
+        (W9[:, 0:RW] << sh) | (W9[:, 1:WSEL] >> (U32(32) - sh)),
+    )                                                    # (B2, RW)
+    rw = aw[:, 0:RW]                                     # (B2, RW)
     x = awin ^ rw
     # leading equal bases per word (earliest base in the MSBs)
     sm = x
@@ -1745,8 +1803,12 @@ def _fastpath_clean(
     return clean, txp, pos
 
 
-def prepare_pallas_text(index, cand_cap: int) -> dict:
+def prepare_pallas_text(index, cand_cap: int, pk_words: int = 16) -> dict:
     """Device arrays for the Pallas path.
+
+    `pk_words`: data words per overlapped pk verify row (stride 8, +1
+    flag word).  16 serves reads <= 128bp (RW = 8 word compares at
+    offsets < 8); 24 serves reads <= 256bp (xlong path).
 
     text_rows are FUSED: text block r (128 positions, one front SEP row
     keeps read-aligned window starts non-negative) occupies three
@@ -1813,26 +1875,27 @@ def prepare_pallas_text(index, cand_cap: int) -> dict:
     specpos[:n] = codes_np >= 4
     specpos[n:] = True  # text-end padding counts as special
     spec_word = specpos.reshape(n16, 16).any(axis=1).astype(np.int32)
+    PKD = pk_words
     rw_rows = -(-n16 // 8) + 2
-    wpad = np.zeros(rw_rows * 8 + 16, dtype=np.uint32)
-    spad = np.ones(rw_rows * 8 + 16, dtype=np.int32)  # pad rows: special
+    wpad = np.zeros(rw_rows * 8 + PKD, dtype=np.uint32)
+    spad = np.ones(rw_rows * 8 + PKD, dtype=np.int32)  # pad rows: special
     wpad[:n16] = aligned
     spad[:n16] = spec_word
     w16s = np.ascontiguousarray(
-        sliding_window_view(wpad, 16)[::8][:rw_rows]
+        sliding_window_view(wpad, PKD)[::8][:rw_rows]
     )
     s16s = np.ascontiguousarray(
-        sliding_window_view(spad, 16)[::8][:rw_rows]
+        sliding_window_view(spad, PKD)[::8][:rw_rows]
     )
     # flags ride as ONE bitmask word (bit w = word 8r+w special), so a
-    # verify window gather moves 17 words instead of 32 — gather cost
-    # is per element, so the narrower row is ~2x cheaper
+    # verify window gather moves PKD+1 words instead of 2*PKD — gather
+    # cost is per element, so the narrower row is ~2x cheaper
     sbits = (s16s.astype(np.uint32)
-             << np.arange(16, dtype=np.uint32)[None, :]).sum(
+             << np.arange(PKD, dtype=np.uint32)[None, :]).sum(
         axis=1, dtype=np.uint32).astype(np.int32)
     pk_rows = np.concatenate(
         [w16s.view(np.int32), sbits[:, None]], axis=1
-    )  # (Rw, 17): [16 words | flag bits]
+    )  # (Rw, PKD + 1): [PKD words | flag bits]
     # OVERLAPPED SA rows for the xscan candidate slice: row r covers
     # SA[16r, 16r+24), so any (lo & 15) + F <= 24 window is ONE gather
     rs16 = -(-n // 16) + 2

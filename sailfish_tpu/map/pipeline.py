@@ -432,11 +432,14 @@ class DeviceMapperBackend:
                 self._xla2_text = t2
             return self._xla2_text
         if self.opts.kernel == "pallas":
+            xlong = getattr(self, "_xlong", False)
             if self._pallas_text is None:
                 from .pallas_kernel import prepare_pallas_text
 
                 pt = prepare_pallas_text(
-                    self._index, self.opts.hit_capacity
+                    self._index, self.opts.hit_capacity,
+                    # xlong (129..256bp reads): 24-word pk verify rows
+                    pk_words=(24 if xlong else 16),
                 )
                 # n_text / filt_bits are STATIC parameters of the pallas
                 # kernel; keep them out of the traced pytree (a traced
@@ -446,6 +449,10 @@ class DeviceMapperBackend:
                 self._pallas_w16_bits = pt.pop("w16_bits")
                 self._pallas_filtxl_bits = pt.pop("filtxl_bits", 0)
                 self._pallas_text = pt
+            if xlong:
+                # the xlong residual runs the exact XLA kernel in-graph
+                # and needs its index arrays alongside the pallas ones
+                return {**self._pallas_text, "xla": self.text}
             return self._pallas_text
         return self.text
 
@@ -464,6 +471,37 @@ class DeviceMapperBackend:
                 live = lens[lens > 0]
                 ul = (int(live[0])
                       if live.size and (live == live[0]).all() else None)
+            if getattr(self, "_xlong", False):
+                from .xlong import map_oriented_lanes_xlong
+
+                text_xla = text.get("xla") if "xla" in text else self.text
+                pt = {kk: v for kk, v in text.items() if kk != "xla"}
+                hits = map_oriented_lanes_xlong(
+                    pt, text_xla,
+                    jnp.asarray(codes), jnp.asarray(lens),
+                    packed=packed,
+                    k=self.k,
+                    prefix_bases=self.prefix_bases,
+                    cand_cap=opts.hit_capacity,
+                    max_mmps=opts.max_mmps,
+                    max_steps=scan_budget,
+                    ht_bits=self.ht_bits,
+                    ht_probes=self.ht_probes,
+                    skip_jump=(opts.mmp_skip == "jump"),
+                    uniform_len=ul,
+                    n_text=self._pallas_n_text,
+                    w16_bits=self._pallas_w16_bits,
+                    filtxl_bits=self._pallas_filtxl_bits,
+                    tuning=opts,
+                )
+                B = codes.shape[0]
+
+                def halfx(d, sl):
+                    return {kk: v[sl] for kk, v in d.items()
+                            if kk != "num_mapped_loci"}
+
+                return (halfx(hits, slice(0, B)),
+                        halfx(hits, slice(B, 2 * B)))
             hits = map_oriented_lanes_pallas(
                 text,
                 jnp.asarray(codes), jnp.asarray(lens),
@@ -481,6 +519,7 @@ class DeviceMapperBackend:
                 filt_bits=self._pallas_filt_bits,
                 w16_bits=self._pallas_w16_bits,
                 filtxl_bits=self._pallas_filtxl_bits,
+                tuning=opts,
             )
         elif opts.kernel == "xla2":
             from .kernels2 import map_oriented_lanes_xla2
@@ -580,9 +619,11 @@ class DeviceMapperBackend:
         idx = np.zeros(upad, dtype=np.int32)
         idx[:U] = rep_idx
         wmax = int(rep_lens.max())
-        w = 8
-        while w < wmax:
-            w *= 2
+        # exactly two reachable gather widths (8 / full label width):
+        # an intermediate wmax mid-run must not compile a fresh
+        # _gather_rows_w graph — a ~0.5-1s tunneled-compile stall —
+        # and the warmup only exercises these two shapes
+        w = 8 if wmax <= 8 else res["label"].shape[1]
         w = min(w, res["label"].shape[1])
         rows = np.asarray(
             _gather_rows_w(res["label"], jnp.asarray(idx), w=w)
@@ -674,20 +715,60 @@ class DeviceMapperBackend:
         }
 
     def _check_kernel_width(self, Lmax: int):
-        """The pallas kernel handles reads <= WINR (128) bases; a
+        """The pallas scan kernel handles reads <= WINR (128) bases;
+        129..256 take the pure-XLA xlong fast path (map/xlong.py: same
+        screen/fastpath/xscan pipeline, exact-XLA residual) with wider
+        pk verify rows; only > 256 swaps to the plain XLA kernel.  A
         dynamic re-pad (io/fastq re-decodes when a longer read appears)
-        can grow the batch width past that mid-run.  Swap to the XLA
-        kernel permanently (re-pads only grow) and drop the traced
-        steps — stale entries closed over the pallas text layout."""
-        if self.opts.kernel == "pallas" and Lmax > 128:
-            import logging
+        can grow the batch width past a boundary mid-run; boundary
+        crossings drop the traced steps (stale entries close over the
+        old text layout) and re-prepare the pallas text."""
+        import logging
 
-            logging.getLogger("sailfish_tpu").warning(
-                "batch width %d exceeds the pallas kernel's 128bp "
-                "limit; switching to the XLA kernel", Lmax,
+        log = logging.getLogger("sailfish_tpu")
+        if self.opts.kernel != "pallas":
+            return
+        if Lmax > 256:
+            log.warning(
+                "batch width %d exceeds the xlong path's 256bp limit; "
+                "switching to the XLA kernel", Lmax,
             )
             self.opts = dataclasses.replace(self.opts, kernel="xla")
             self._pe_steps = {}
+            return
+        if Lmax > 128 and self.opts.max_scan_steps > 0 \
+                and self.opts.max_scan_steps < Lmax - self.k + 1:
+            # the xlong xscan is exact only with the full (unbounded)
+            # scan budget; a bounded budget is a debug config — take
+            # the XLA kernel, which honors it at any width
+            log.warning(
+                "batch width %d with a bounded scan budget (%d): "
+                "switching to the XLA kernel", Lmax,
+                self.opts.max_scan_steps,
+            )
+            self.opts = dataclasses.replace(self.opts, kernel="xla")
+            self._pe_steps = {}
+            return
+        if Lmax > 128 and not getattr(self, "_xlong", False):
+            self._xlong = True
+            self._pe_steps = {}
+            if self._pallas_text is not None:
+                # rebuilt on next _text_arg with 24-word pk verify rows
+                self._pallas_text = None
+            if not self._esc_enabled():
+                # xlong residual spills ride the overflow -> escalation
+                # remap; without escalation they would be dropped.
+                # Enable the remap pass at the base capacity (true
+                # cnt > C overflows still drop, same as before).
+                log.info(
+                    "xlong (reads > 128bp): enabling the overflow "
+                    "remap pass at --hitCapacity %d",
+                    self.opts.hit_capacity,
+                )
+                self.opts = dataclasses.replace(
+                    self.opts,
+                    hit_capacity_max=self.opts.hit_capacity,
+                )
 
     def submit_pe(self, b1, b2=None, expected: LibraryFormat = None):
         if isinstance(b1, dict) and "dev" in b1:  # prefetched
@@ -755,7 +836,11 @@ class DeviceMapperBackend:
     _ESC_ROWS = 1024
 
     def _esc_enabled(self) -> bool:
-        return self.opts.hit_capacity_max > self.opts.hit_capacity
+        # >= (not >): the xlong path enables a same-capacity remap pass
+        # for its residual spills (exact for them; true cnt > C
+        # overflows still come back overflowed and drop as before)
+        return (self.opts.hit_capacity_max > 0
+                and self.opts.hit_capacity_max >= self.opts.hit_capacity)
 
     def _esc_backend(self):
         if getattr(self, "_escb", None) is None:

@@ -109,7 +109,12 @@ class ShardedMapperBackend(DeviceMapperBackend):
     def _text_arg(self):
         return self._stacked
 
-    def _map_lanes(self, codes, lens, uniform_len=None, text=None):
+    def _map_lanes(self, codes, lens, uniform_len=None, text=None,
+                   packed=None):
+        # `packed` (2-bit H2D words) feeds the single-device pack-domain
+        # pallas/xscan path only; the lockstep sharded scan consumes the
+        # unpacked per-position codes, so it is accepted and ignored.
+        del packed
         opts = self.opts
         if text is None:
             text = self._text_arg()

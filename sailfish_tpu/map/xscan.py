@@ -176,28 +176,51 @@ def probe_pairrows(ht32, h1, k0i, k1i, *, ht_probes: int):
     return found, lo, cnt, miss, unres
 
 
+def _select8(mat, d, out_w):
+    """mat (P, width) -> (P, out_w) = mat[p, d:d+out_w] for d in [0, 8)
+    (the pk/sa overlapped rows have stride 8, so the in-row offset is
+    always < 8 regardless of the row width)."""
+    out = jnp.zeros((mat.shape[0], out_w), mat.dtype)
+    for dd in range(8):
+        out = jnp.where((d == dd)[:, None], mat[:, dd : dd + out_w], out)
+    return out
+
+
 def _verify_lcp(gc_f, rw, jc, lens, pk_rows):
     """Packed-word LCP of ONE candidate column: compare the text window
     starting at global position (gc_f + jc) - jc ... i.e. the window
     whose column j aligns with read position j — against the read's
-    aligned words, from read column jc.  Returns (lcp_f, spec_f)."""
+    aligned words, from read column jc.  Returns (lcp_f, spec_f).
+
+    Width-generic: RW (read words) comes from rw.shape[1]; the pk rows
+    must carry at least RW + 8 data words (stride 8, offset < 8) plus
+    the flag word — 17-wide rows serve RW = 8 (reads <= 128bp), 25-wide
+    rows serve RW = 16 (reads <= 256bp)."""
     Rw = pk_rows.shape[0]
+    RW = rw.shape[1]
+    PKD = pk_rows.shape[1] - 1
+    if PKD < RW + 8:
+        raise ValueError(
+            f"pk rows carry {PKD} data words; reads of {16 * RW} bases "
+            f"need >= {RW + 8} (rebuild with prepare_pallas_text "
+            "pk_words)")
+    WSEL = RW + 1
     w0 = gc_f >> 4
-    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (P, 17)
-    W9 = jax.lax.bitcast_convert_type(
-        _select_w(ra[:, :16], w0 & 7, 9), U32)
-    fb = ra[:, 16] >> (w0 & 7)
+    ra = pk_rows[jnp.clip(w0 >> 3, 0, Rw - 1)]          # (P, PKD + 1)
+    Wv = jax.lax.bitcast_convert_type(
+        _select8(ra[:, :PKD], w0 & 7, WSEL), U32)
+    fb = ra[:, PKD] >> (w0 & 7)
     o = gc_f & 15
     sh = (o * 2).astype(U32)[:, None]
     aw = jnp.where(
         (o == 0)[:, None],
-        W9[:, 0:8],
-        (W9[:, 0:8] << sh) | (W9[:, 1:9] >> (U32(32) - sh)),
+        Wv[:, 0:RW],
+        (Wv[:, 0:RW] << sh) | (Wv[:, 1:WSEL] >> (U32(32) - sh)),
     )
     x = aw ^ rw
     # ignore compare columns < j: zero the leading (j - 16*wi) bases of
     # each word (earliest base sits in the MSBs)
-    wi8 = jnp.arange(8, dtype=I32)[None, :]
+    wi8 = jnp.arange(RW, dtype=I32)[None, :]
     lead = jnp.clip(jc[:, None] - 16 * wi8, 0, 16)
     keep = jnp.where(
         lead >= 16, U32(0),
@@ -217,8 +240,8 @@ def _verify_lcp(gc_f, rw, jc, lens, pk_rows):
     # the A-substituted compare to equal the true-code compare
     nword = (lens + 15) >> 4
     jword = jc >> 4
-    wi9 = jnp.arange(9, dtype=I32)[None, :]
-    s9 = jnp.stack([(fb >> jj) & 1 for jj in range(9)], axis=1)
+    wi9 = jnp.arange(WSEL, dtype=I32)[None, :]
+    s9 = jnp.stack([(fb >> jj) & 1 for jj in range(WSEL)], axis=1)
     spec_f = ((s9 != 0) & (wi9 >= jword[:, None])
               & (wi9 <= nword[:, None])).any(axis=1)
     return lcp_f, spec_f
@@ -401,7 +424,11 @@ def nip_scan_xla(
         jnp.where(pres, posi, _BIG), axis=1, reverse=True
     )  # (P, npos): next present position >= i
 
-    rw = aw[:, 0:8]  # (P, 8) read words at positions 0, 16, .., 112
+    # read words at positions 0, 16, ..: enough whole words to cover
+    # L_read bases (8 for <= 128bp; wider for long reads, matched by
+    # wider pk verify rows)
+    RW = (L_read + 15) >> 4
+    rw = aw[:, 0:RW]  # (P, RW)
 
     ht32 = ht16.reshape(-1, 32)
     Fs = F
@@ -464,7 +491,7 @@ def nip_scan_xla(
         k1s = pos_words(aw_s[:, 1:], npos) >> shift_k1
         sub_state = (i[idx], nm[idx], mlen[idx], over[idx], punt[idx],
                      gtxp[idx], gpin[idx], vld[idx])
-        sub_lane = (k0s, k1s, nxt[idx], aw_s[:, 0:8], lens[idx])
+        sub_lane = (k0s, k1s, nxt[idx], aw_s[:, 0:RW], lens[idx])
         sub_state = scan_phase(sub_state, sub_lane, steps, light=False)
         si, snm, smlen, sover, spunt, sgtxp, sgpin, svld = sub_state
         i = i.at[idx].set(si)

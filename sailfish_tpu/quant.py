@@ -346,7 +346,11 @@ def run_quant(opts: QuantOpts, backend: str = "device",
                 for key in ("m1", "m2", "um"):
                     lib[key] = [_materialize_stream(f) for f in lib[key]]
                     files.extend(lib[key])
-            if max(_probe_max_len(f) for f in files) <= 128:
+            # <= 128bp: pallas scan kernel; 129..256bp: the pure-XLA
+            # xlong fast path (screen + fastpath + xscan + exact-XLA
+            # residual; map/xlong.py) — the pipeline routes by batch
+            # width, both under kernel="pallas"
+            if max(_probe_max_len(f) for f in files) <= 256:
                 kern = "pallas"
         opts = dataclasses.replace(opts, kernel=kern)
         log.info("kernel auto -> %s", kern)

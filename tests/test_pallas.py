@@ -81,13 +81,11 @@ def test_pallas_backend_matches_oracle(toy_world):
     )
 
 
-def test_packed_lane_build_matches_codes_path(toy_world):
+def test_packed_lane_build_matches_codes_path(toy_world, monkeypatch):
     """The pack-domain lane build from H2D 2-bit words (packed=...)
     must produce bit-identical mapping output to the u8-codes lane
     build, including N reads, errors, uniform-length RC flip, and the
     xscan production config (full scan budget)."""
-    import os
-
     from sailfish_tpu.map.pipeline import _pack_reads
 
     idx = toy_world["idx"]
@@ -120,7 +118,7 @@ def test_packed_lane_build_matches_codes_path(toy_world):
         ht_bits=dev.ht_bits, ht_probes=dev.ht_probes, interpret=True,
         uniform_len=U,
     )
-    os.environ["SF_PACKED_LANES"] = "1"
+    monkeypatch.setenv("SF_PACKED_LANES", "1")
     res_p = map_oriented_lanes_pallas(
         pt, jnp.asarray(codes), jnp.asarray(lens),
         packed=(jnp.asarray(pw), jnp.asarray(nm)), **kw,
