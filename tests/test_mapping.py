@@ -261,10 +261,11 @@ def test_strict_intersect_orphan_recovery(toy_world):
             assert not br.mapped.any()
 
 
-def test_pallas_width_guard_swaps_to_xla(toy_world):
-    """A batch wider than the pallas kernel's 128bp window must swap
-    the backend to the XLA kernel (dynamic re-pad can grow the width
-    mid-run) and produce the same hit sets as an xla-only backend."""
+def test_pallas_width_guard_routes_wide_batches(toy_world):
+    """A batch wider than the pallas kernel's 128bp window routes to
+    the xlong fast path (129..256; round 5 — no more silent swap to the
+    ~11x slower XLA kernel), and only a batch wider than 256 swaps to
+    the XLA kernel.  Both must produce the XLA backend's hit sets."""
     exp = parse_library_format("IU")
     r1, r2, _ = toy_world["sim"](64, err_rate=0.2, seed=9)
     b1, b2 = to_batch(r1, max_len=136), to_batch(r2, max_len=136)
@@ -274,7 +275,16 @@ def test_pallas_width_guard_swaps_to_xla(toy_world):
     xla = DeviceMapperBackend(toy_world["idx"], QuantOpts(
         batch_size=64, kernel="xla"))
     bp = pal.map_pe_batch(b1, b2, exp)
-    assert pal.opts.kernel == "xla"  # guard fired before tracing
+    assert pal.opts.kernel == "pallas" and pal._xlong  # no cliff
     bx = xla.map_pe_batch(b1, b2, exp)
     assert as_dict(bp) == as_dict(bx)
     assert np.array_equal(bp.mapped, bx.mapped)
+
+    # > 256: the xlong window ends; the guard swaps to the XLA kernel
+    b1w, b2w = to_batch(r1, max_len=264), to_batch(r2, max_len=264)
+    pal2 = DeviceMapperBackend(toy_world["idx"], QuantOpts(
+        batch_size=64, kernel="pallas"))
+    bp2 = pal2.map_pe_batch(b1w, b2w, exp)
+    assert pal2.opts.kernel == "xla"
+    bx2 = xla.map_pe_batch(b1w, b2w, exp)
+    assert as_dict(bp2) == as_dict(bx2)

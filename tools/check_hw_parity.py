@@ -34,6 +34,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=8192)
     ap.add_argument("--cap", type=int, default=32)
+    ap.add_argument("--cap-max", type=int, default=0,
+                    help="escalation capacity (0 = off)")
+    ap.add_argument("--readlen", type=int, default=100,
+                    help=">128 exercises the xlong long-read path")
     ap.add_argument("--err", type=float, default=0.005)
     ap.add_argument("--n-rate", type=float, default=0.001)
     args = ap.parse_args()
@@ -59,7 +63,9 @@ def main():
     log(f"transcriptome: {len(seqs)} txps, {idx.text_len} bases; "
         f"backend={jax.default_backend()}")
 
-    b1, b2, _ = simulate_reads(seqs, args.reads, rng, err=args.err)
+    b1, b2, _ = simulate_reads(seqs, args.reads, rng, err=args.err,
+                               readlen=args.readlen,
+                               flmin=max(150, args.readlen + 20))
     # sprinkle Ns (code 4) into live read positions — exercises the
     # has-N punt lanes through fastpath/xscan/kernel
     for b in (b1, b2):
@@ -69,7 +75,7 @@ def main():
 
     expected = parse_library_format("IU")
     opts_kw = dict(batch_size=args.reads, hit_capacity=args.cap,
-                   max_read_occs=200)
+                   hit_capacity_max=args.cap_max, max_read_occs=200)
 
     from sailfish_tpu.quant import RefMapperBackend
 
@@ -114,6 +120,11 @@ def main():
         "frag_lens_identical": bool(
             (obr.frag_lens == dbr.frag_lens).all()
         ),
+        "cap": args.cap,
+        "cap_max": args.cap_max,
+        "readlen": args.readlen,
+        "err": args.err,
+        "xlong": bool(args.readlen > 128),
         "dyngrid": os.environ.get("SF_DYNGRID", "1"),
     }))
     sys.exit(0 if ok else 1)

@@ -256,6 +256,43 @@ def main():
             ht_probes=ht_probes, filt_bits=filtxl_bits, n_text=n_text,
             skip_jump=False, sched_b=xscan_b)
 
+    if "p" in PIECES:
+        # s4 sub-bisection: the per-position presence precompute alone
+        # (pos_words keys + one Bloom gather per (lane, position) +
+        # reverse cummin next-present table)
+        npos = min(L, WINR) - k + 1
+
+        @jax.jit
+        def s4p(aw_c, filtxl_flat):
+            awp = aw_c[:P]
+            k0a = pos_words(awp, npos)
+            k1a = pos_words(awp[:, 1:], npos) >> jnp.uint32(2 * (32 - k))
+            h1a = (k0a * jnp.uint32(0x9E3779B1))
+            h1a = h1a ^ (h1a >> jnp.uint32(15))
+            h1a = h1a * jnp.uint32(0xC2B2AE3D)
+            h1a = h1a ^ (h1a >> jnp.uint32(13))
+            h2a = (k1a * jnp.uint32(0x27D4EB2F)) ^ (
+                k0a * jnp.uint32(0x165667B1))
+            h2a = h2a ^ (h2a >> jnp.uint32(16))
+            h2a = h2a * jnp.uint32(0x7FEB352D)
+            h2a = h2a ^ (h2a >> jnp.uint32(11))
+            fmask = jnp.int32((1 << filtxl_bits) - 1)
+            wid = h1a.astype(jnp.int32) & (fmask >> 5)
+            v = filtxl_flat[wid]
+            pres = (((v >> (h2a.astype(jnp.int32) & 31))
+                     & (v >> ((h2a >> jnp.uint32(5)).astype(jnp.int32)
+                              & 31))) & 1) == 1
+            posi = jnp.arange(npos, dtype=jnp.int32)[None, :]
+            pres = pres & (posi + k <= kl_c[:P][:, None])
+            nxt = jax.lax.cummin(
+                jnp.where(pres, posi, jnp.int32(1 << 20)), axis=1,
+                reverse=True)
+            return nxt
+
+        timeit("s4p   presence precompute only",
+               lambda: s4p(aw_c, filtxl_flat),
+               lambda r: np.asarray(r[:8]))
+
     if "4" in PIECES:
         (xs, _) = timeit(
             "s4 xscan (two-phase NIP scan)",
