@@ -1405,13 +1405,20 @@ def _map_lanes_pallas_jit(
         # run on prefixes.  Gathers move (B2, WA) words + the N-mask —
         # ~30x less than permuting (B2, WINW) code/word arrays.
         order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
-        kl_c = klens[order]
         P = max(B2 // 4, LB)
+        # ONE fused row gather instead of three: gather cost on TPU is
+        # dominated by a per-ROW floor (~35M single-word rows/s), so
+        # [aw | klens | has_n] ride one (B2, WA+2) gather and split
+        fused_c = jnp.concatenate([
+            jax.lax.bitcast_convert_type(aw, jnp.int32),
+            klens[:, None],
+            has_n[:, None].astype(jnp.int32),
+        ], axis=1)[order]
+        kl_c = fused_c[:, WA]
+        aw_p = jax.lax.bitcast_convert_type(
+            fused_c[:P, :WA], jnp.uint32)
+        hn_p = fused_c[:P, WA + 1] != 0
         oP = order[:P]
-        # gather lane words only for the prefixes that use them (the
-        # xscan prefix here, the kernel prefix below) — not full-width
-        aw_p = aw[oP]
-        hn_p = has_n[oP]
 
         from .xscan import nip_scan_xla
 
@@ -1438,7 +1445,12 @@ def _map_lanes_pallas_jit(
         # production prefix B2/4 covers any realistic residual — a
         # pathological overflow (live residual beyond PK) marks those
         # fragments overflow, which the escalation pass remaps exactly.
-        pk_div = int(os.environ.get("SF_PK_DIV", "8"))
+        # B2/32 = 8192 rows at a 64k batch — 4x the measured residual
+        # (~2k live lanes after xscan at 0.5% error, profile_pieces
+        # 2026-08-20); the unpack + kernel-side postpass run at PK
+        # width, so oversizing it costs real milliseconds, and an
+        # overflow is exact anyway (escalation remap)
+        pk_div = int(os.environ.get("SF_PK_DIV", "32"))
         PK = B2 if (B2 <= 32768 or w16_bits == 0) else max(B2 // pk_div, LB)
         livek = kl_k > 0
         live2 = livek.sum().astype(jnp.int32)

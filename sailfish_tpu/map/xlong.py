@@ -185,11 +185,18 @@ def _map_lanes_xlong_jit(
     # clean lanes); a half-width prefix is generous, and spills are
     # exact (overflow -> escalation)
     order = jnp.argsort((klens == 0).astype(jnp.int32), stable=True)
-    kl_c = klens[order]
     P = max(B2 // 2, 8)
+    # ONE fused row gather instead of three (per-ROW gather floor)
+    fused_c = jnp.concatenate([
+        jax.lax.bitcast_convert_type(aw, jnp.int32),
+        klens[:, None],
+        has_n[:, None].astype(jnp.int32),
+    ], axis=1)[order]
+    WAx = aw.shape[1]
+    kl_c = fused_c[:, WAx]
+    aw_p = jax.lax.bitcast_convert_type(fused_c[:P, :WAx], jnp.uint32)
+    hn_p = fused_c[:P, WAx + 1] != 0
     oP = order[:P]
-    aw_p = aw[oP]
-    hn_p = has_n[oP]
 
     handled, xs_txp, xs_pin, xs_vld, xs_nm, xs_mlen, xs_over = (
         nip_scan_xla(
