@@ -177,9 +177,13 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
+    idx_cache = os.environ.get(
+        "BENCH_IDX_CACHE", f"/tmp/benchidx_{NUM_TXPS}_{TXP_LEN}"
+    )
     opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP,
                      hit_capacity_max=CAP_MAX, scan_shrink=SHRINK,
-                     kernel=KERNEL, xla2_sweep_win=SWEEP)
+                     kernel=KERNEL, xla2_sweep_win=SWEEP,
+                     index_dir=idx_cache)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
 
@@ -219,10 +223,16 @@ def main():
         return warm
 
     import glob as _glob
+    import logging as _logging
 
+    _logging.basicConfig(level=_logging.INFO, stream=sys.stderr,
+                         format="%(message)s")
     cache_state = (
         "warm" if _glob.glob("/tmp/jaxcache/jit_step-*") else "cold"
     )
+    t0 = time.time()
+    backend._text_arg()
+    log(f"  index prepare + device_put: {time.time()-t0:.1f}s")
     t0 = time.time()
     try:
         bs = make_warm(backend)(HashedEqClassAccumulator())

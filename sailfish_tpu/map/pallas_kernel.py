@@ -1815,12 +1815,33 @@ def _fastpath_clean(
     return clean, txp, pos
 
 
-def prepare_pallas_text(index, cand_cap: int, pk_words: int = 16) -> dict:
+def _index_fingerprint(index) -> str:
+    """Cheap identity for the prepared-arrays disk cache: static index
+    parameters + a sample of the suffix array (a rebuilt index in the
+    same directory changes the SA with overwhelming probability)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr((index.text_len, index.num_transcripts, index.k,
+                   index.prefix_bases)).encode())
+    sa = np.asarray(index.sa)
+    h.update(sa[: 1 << 14].tobytes())
+    h.update(sa[-(1 << 14):].tobytes())
+    return h.hexdigest()[:16]
+
+
+def prepare_pallas_text(index, cand_cap: int, pk_words: int = 16,
+                        cache_dir: str | None = None) -> dict:
     """Device arrays for the Pallas path.
 
     `pk_words`: data words per overlapped pk verify row (stride 8, +1
     flag word).  16 serves reads <= 128bp (RW = 8 word compares at
     offsets < 8); 24 serves reads <= 256bp (xlong path).
+
+    `cache_dir`: when given, the BUILT numpy images (fused text rows,
+    pk/sa overlap rows, blooms, bucket table) are cached there as one
+    .npz — the host-side build costs tens of seconds at GENCODE scale
+    and is identical across runs of the same index.
 
     text_rows are FUSED: text block r (128 positions, one front SEP row
     keeps read-aligned window starts non-negative) occupies three
@@ -1832,6 +1853,24 @@ def prepare_pallas_text(index, cand_cap: int, pk_words: int = 16) -> dict:
     window fetch for the (majority) unique-seed case too."""
     if index.kmer_ht is None:
         raise ValueError("pallas mapping path requires a k-mer table (k >= 17)")
+    _ARR = ("text_rows", "sa_rows", "ht_rows", "filt_rows", "w16_rows",
+            "pk_rows", "ht16", "filtxl_rows", "sa_ov")
+    _SCAL = ("n_text", "filt_bits", "filtxl_bits", "w16_bits")
+    npz_path = None
+    if cache_dir:
+        fp = _index_fingerprint(index)
+        npz_path = os.path.join(cache_dir, f"pallas_pk{pk_words}_{fp}.npz")
+        if os.path.exists(npz_path):
+            try:
+                z = np.load(npz_path, allow_pickle=False)
+                out = {kk: jnp.asarray(z[kk]) for kk in _ARR}
+                out.update({kk: int(z[kk]) for kk in _SCAL})
+                return out
+            except Exception:
+                try:
+                    os.unlink(npz_path)
+                except OSError:
+                    pass
     n = index.text_len
     nrows = 1 + (-(-n // ROW)) + PAD_ROWS
     text = np.full((nrows * ROW,), 4, dtype=np.int32)
@@ -1918,18 +1957,35 @@ def prepare_pallas_text(index, cand_cap: int, pk_words: int = 16) -> dict:
     )  # (Rs, 24)
     S = index.kmer_ht["ht_lo"].shape[0]
     ht16 = ht_rows_np[: S // 8].reshape(S, 16)
-    return {
-        "text_rows": jnp.asarray(fused),
-        "sa_rows": jnp.asarray(sa.reshape(-1, ROW)),
-        "ht_rows": jnp.asarray(ht_rows_np),
-        "filt_rows": jnp.asarray(bloom["filt_rows"]),
-        "w16_rows": jnp.asarray(w16_rows),
-        "pk_rows": jnp.asarray(pk_rows),
-        "ht16": jnp.asarray(ht16),
-        "filtxl_rows": jnp.asarray(bloom_xl["filt_rows"]),
-        "sa_ov": jnp.asarray(sa_ov),
-        "n_text": n,
-        "filt_bits": bloom["filt_bits_log2"],
-        "filtxl_bits": bloom_xl["filt_bits_log2"],
-        "w16_bits": w16_bits,
+    np_out = {
+        "text_rows": fused,
+        "sa_rows": sa.reshape(-1, ROW),
+        "ht_rows": ht_rows_np,
+        "filt_rows": np.asarray(bloom["filt_rows"]),
+        "w16_rows": np.asarray(w16_rows),
+        "pk_rows": pk_rows,
+        "ht16": ht16,
+        "filtxl_rows": np.asarray(bloom_xl["filt_rows"]),
+        "sa_ov": sa_ov,
     }
+    scalars = {
+        "n_text": n,
+        "filt_bits": int(bloom["filt_bits_log2"]),
+        "filtxl_bits": int(bloom_xl["filt_bits_log2"]),
+        "w16_bits": int(w16_bits),
+    }
+    if npz_path:
+        try:
+            import tempfile
+
+            os.makedirs(cache_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **np_out, **{
+                    kk: np.int64(v) for kk, v in scalars.items()})
+            os.replace(tmp, npz_path)
+        except Exception:
+            pass
+    out = {kk: jnp.asarray(v) for kk, v in np_out.items()}
+    out.update(scalars)
+    return out

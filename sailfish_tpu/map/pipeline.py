@@ -24,6 +24,7 @@ bytes and is collision-free.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -440,6 +441,11 @@ class DeviceMapperBackend:
                     self._index, self.opts.hit_capacity,
                     # xlong (129..256bp reads): 24-word pk verify rows
                     pk_words=(24 if xlong else 16),
+                    # built images cached next to the on-disk index
+                    # (host build costs tens of seconds at scale)
+                    cache_dir=(os.path.join(self.opts.index_dir,
+                                            "pallas_cache")
+                               if self.opts.index_dir else None),
                 )
                 # n_text / filt_bits are STATIC parameters of the pallas
                 # kernel; keep them out of the traced pytree (a traced
@@ -648,7 +654,8 @@ class DeviceMapperBackend:
         seq_on, gc_on = self._bias_flags
         return self.bias_text if (seq_on or gc_on) else {}
 
-    def _pe_step(self, expected: LibraryFormat, ul1, ul2, L1, L2):
+    def _pe_step(self, expected: LibraryFormat, ul1, ul2, L1, L2,
+                 args=None):
         key = (expected.format_id(), ul1, ul2, L1, L2)
         fn = self._pe_steps.get(key)
         if fn is None:
@@ -687,9 +694,51 @@ class DeviceMapperBackend:
                 return self._tail(h1, h2, l1, l2, expected,
                                   paired_end=True, bias_text=bias_text)
 
-            fn = jax.jit(step)
+            fn = self._maybe_aot(("pe",) + key, jax.jit(step), args)
             self._pe_steps[key] = fn
         return fn
+
+    # ---- cross-process executable cache (utils/aot.py) ----
+    # On the tunneled axon backend the jax persistent compile cache is
+    # write-only, so every process would otherwise pay a full remote
+    # trace+compile of the fused step (minutes, tunnel-weather
+    # dependent).  With concrete example args available at submit time
+    # we AOT-compile instead and persist the EXECUTABLE; a later
+    # process deserializes it in milliseconds.
+    _aot_ok = True
+
+    def _aot_statics(self):
+        o = self.opts
+        env = tuple(sorted(
+            (k, v) for k, v in os.environ.items() if k.startswith("SF_")
+        ))
+        return (
+            o.hit_capacity, o.hit_capacity_max, o.max_mmps,
+            o.max_scan_steps, o.mmp_skip, o.kernel, o.scan_shrink,
+            o.xla2_sweep_win, o.batch_size, o.use_fastpath, o.use_xscan,
+            o.lane_screen, o.lane_compact, o.packed_lanes,
+            o.filt_access, o.xscan_t, o.xscan_f, o.xscan_t1, o.xscan_p2,
+            o.xscan_schedule, o.strict_intersect, o.allow_dovetail,
+            o.allow_orphans, o.ignore_lib_compat, o.enforce_lib_compat,
+            o.max_frag_len, o.num_bias_samples, o.gc_samp_factor,
+            self._bias_flags, self.k, self.prefix_bases, self.ht_bits,
+            self.ht_probes, self._pallas_n_text, self._pallas_filt_bits,
+            self._pallas_w16_bits,
+            getattr(self, "_pallas_filtxl_bits", None),
+            getattr(self, "_xlong", False), env,
+        )
+
+    def _maybe_aot(self, tag_key, jfn, args):
+        from ..utils import aot
+
+        if args is None or not self._aot_ok or not aot.enabled():
+            return jfn
+        tag = "-".join(str(x) for x in tag_key)
+        statics = self._aot_statics()
+        comp = aot.load(tag, statics, args)
+        if comp is None:
+            comp = aot.compile_and_save(jfn, tag, statics, args)
+        return comp if comp is not None else jfn
 
     def prefetch_pe(self, b1, b2):
         """Start the H2D transfer of a padded batch WITHOUT dispatching
@@ -792,13 +841,13 @@ class DeviceMapperBackend:
             p2, n2, l2 = jnp.asarray(pw2), jnp.asarray(nm2), jnp.asarray(pl2)
             ctx = (b1, b2, expected)
         self._check_kernel_width(max(L1, L2))
-        res = self._pe_step(expected, ul1, ul2, L1, L2)(
-            self._text_arg(), self._bias_text_arg(),
-            p1, n1, l1, p2, n2, l2
-        )
+        sargs = (self._text_arg(), self._bias_text_arg(),
+                 p1, n1, l1, p2, n2, l2)
+        res = self._pe_step(expected, ul1, ul2, L1, L2, args=sargs)(
+            *sargs)
         return (res, n, ctx)
 
-    def _se_step(self, expected: LibraryFormat, ul1, L1):
+    def _se_step(self, expected: LibraryFormat, ul1, L1, args=None):
         key = (expected.format_id(), ul1, L1, "se")
         fn = self._pe_steps.get(key)
         if fn is None:
@@ -809,7 +858,7 @@ class DeviceMapperBackend:
                 return self._tail(h1, h1, l1, l1, expected,
                                   paired_end=False, bias_text=bias_text)
 
-            fn = jax.jit(step)
+            fn = self._maybe_aot(("se",) + key[:-1], jax.jit(step), args)
             self._pe_steps[key] = fn
         return fn
 
@@ -818,11 +867,10 @@ class DeviceMapperBackend:
         c1, l1 = self._pad_batch(b.codes, b.lens)
         self._check_kernel_width(c1.shape[1])
         pw1, nm1 = _pack_reads(c1)
+        sargs = (self._text_arg(), self._bias_text_arg(),
+                 jnp.asarray(pw1), jnp.asarray(nm1), jnp.asarray(l1))
         res = self._se_step(expected, self._uniform_len(l1),
-                            c1.shape[1])(
-            self._text_arg(), self._bias_text_arg(),
-            jnp.asarray(pw1), jnp.asarray(nm1), jnp.asarray(l1)
-        )
+                            c1.shape[1], args=sargs)(*sargs)
         return (res, n, (b, None, expected))
 
     # escalation (wide-capacity second pass): fragments whose candidate

@@ -14,9 +14,16 @@ NamedSharding before the first batch, so each device holds 1/D of the
 index — the point of the exercise (BASELINE config 5: transcriptome
 index exceeding one chip's HBM).
 
-Unsupported with a sharded index (explicit errors, not silent drops):
-sequence/GC bias correction (needs the whole text on one device) and
-the wide-capacity escalation pass (needs a monolithic re-map).
+Unsupported with a sharded index (explicit error, not a silent drop):
+sequence/GC bias correction (needs the whole text on one device).
+
+Escalation (--hitCapacityMax) IS available (round 5): overflow
+fragments re-map through a second lockstep sharded scan at the wide
+capacity — a sibling backend sharing this one's mesh and device-
+resident shard arrays (no extra HBM), exactly like the monolithic
+path's wide second pass.  Reference behavior matched: unbounded
+candidate enumeration with --maxReadOcc applied to the joint set
+(src/SailfishQuantify.cpp:217,1143).
 """
 
 from __future__ import annotations
@@ -40,23 +47,17 @@ log = logging.getLogger("sailfish_tpu")
 
 
 class ShardedMapperBackend(DeviceMapperBackend):
-    def __init__(self, sidx, opts: QuantOpts, mesh: Mesh | None = None):
+    # executable serialization of shard_map'd programs across processes
+    # is untested on this backend; the sharded path keeps plain jit
+    _aot_ok = False
+
+    def __init__(self, sidx, opts: QuantOpts, mesh: Mesh | None = None,
+                 _share_stacked=None):
         if opts.bias_correct or opts.gc_bias_correct:
             raise ValueError(
                 "bias correction needs the whole transcriptome text on "
                 "one device; it is not available with a sharded index"
             )
-        if opts.hit_capacity_max > opts.hit_capacity:
-            # escalation needs a monolithic re-map pass over the whole
-            # text; overflow fragments on a sharded index are dropped
-            # like --maxReadOcc discards instead (loud, not silent)
-            log.warning(
-                "--hitCapacityMax escalation is not available with a "
-                "sharded index; fragments overflowing --hitCapacity %d "
-                "will be dropped like --maxReadOcc discards",
-                opts.hit_capacity,
-            )
-            opts = dataclasses.replace(opts, hit_capacity_max=0)
         if opts.kernel == "pallas":
             log.info("sharded index: using the XLA kernel "
                      "(the pallas scan is single-device)")
@@ -93,17 +94,44 @@ class ShardedMapperBackend(DeviceMapperBackend):
         self._bias_flags = (False, False)
 
         self._mesh = mesh
-        stacked, meta = stack_shard_texts(sidx.shards, sidx.ranges)
+        if _share_stacked is not None:
+            # escalation sibling: reuse the parent's device-resident
+            # shard arrays (no second HBM copy, no second transfer)
+            self._stacked, meta = _share_stacked
+        else:
+            stacked, meta = stack_shard_texts(sidx.shards, sidx.ranges)
+            # place each index array striped over the mesh: device d
+            # holds shard d only (the whole point — per-device HBM
+            # sees 1/D)
+            spec = NamedSharding(mesh, P("idx"))
+            self._stacked = {
+                kk: jax.device_put(v, spec) for kk, v in stacked.items()
+            }
+        self._stack_meta = meta
         self.use_hash = meta["ht_bits"] > 0
         self.ht_bits = meta["ht_bits"]
         self.ht_probes = meta["ht_probes"]
-        # place each index array striped over the mesh: device d holds
-        # shard d only (the whole point — per-device HBM sees 1/D)
-        spec = NamedSharding(mesh, P("idx"))
-        self._stacked = {
-            kk: jax.device_put(v, spec) for kk, v in stacked.items()
-        }
         self._tail_cap = D * opts.hit_capacity
+
+    def _esc_backend(self):
+        """Wide-capacity second pass over the SAME sharded index: a
+        sibling backend on this mesh, sharing the device shard arrays,
+        with hit_capacity = effective_hit_capacity().  The lockstep
+        scan's union-of-shards hit set is exact at any capacity, so
+        escalated fragments come back bit-identical to a monolithic
+        wide pass (pinned by tests/test_shardidx.py)."""
+        if getattr(self, "_escb", None) is None:
+            opts2 = dataclasses.replace(
+                self.opts,
+                hit_capacity=self.opts.effective_hit_capacity(),
+                hit_capacity_max=0,
+                batch_size=self._ESC_ROWS,
+            )
+            self._escb = ShardedMapperBackend(
+                self._index, opts2, mesh=self._mesh,
+                _share_stacked=(self._stacked, self._stack_meta),
+            )
+        return self._escb
 
     # the sharded arrays ARE the text argument for the fused step
     def _text_arg(self):

@@ -134,3 +134,22 @@ def test_packed_lane_build_matches_codes_path(toy_world, monkeypatch):
             np.testing.assert_array_equal(a[va], b[va], err_msg=key)
         else:
             np.testing.assert_array_equal(a, b, err_msg=key)
+
+
+def test_prepare_pallas_text_disk_cache(toy_world, tmp_path):
+    """The prepared-arrays disk cache round-trips bit-identically and
+    invalidates on pk_words / index changes."""
+    idx = toy_world["idx"]
+    cd = str(tmp_path / "pc")
+    a = prepare_pallas_text(idx, cand_cap=16, cache_dir=cd)
+    files = list((tmp_path / "pc").glob("pallas_pk16_*.npz"))
+    assert len(files) == 1
+    b = prepare_pallas_text(idx, cand_cap=16, cache_dir=cd)  # load path
+    for k in ("text_rows", "sa_rows", "ht_rows", "filt_rows",
+              "w16_rows", "pk_rows", "ht16", "filtxl_rows", "sa_ov"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+    for k in ("n_text", "filt_bits", "filtxl_bits", "w16_bits"):
+        assert a[k] == b[k]
+    prepare_pallas_text(idx, cand_cap=16, pk_words=24, cache_dir=cd)
+    assert len(list((tmp_path / "pc").glob("pallas_pk24_*.npz"))) == 1

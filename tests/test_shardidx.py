@@ -181,3 +181,70 @@ def test_sharded_overflow_rule_is_global():
         np.asarray(got["overflow"]), np.asarray(ref["overflow"])
     )
     assert _hit_sets(got, B2) == _hit_sets(ref, B2)
+
+
+def test_sharded_escalation_matches_monolithic_wide():
+    """--hitCapacityMax under a sharded index (round 5): overflow
+    fragments re-map through the wide lockstep pass and the final
+    classes equal a monolithic backend's at the same capacities.
+    World: a 100bp segment shared by every 3rd transcript of 24 ->
+    ~8 copies; cap 4 overflows on segment reads, cap_max 32 recovers
+    the full candidate set (reference: unbounded enumeration with
+    --maxReadOcc on the joint set, src/SailfishQuantify.cpp:217)."""
+    from sailfish_tpu.config import QuantOpts
+    from sailfish_tpu.index.builder import ShardedQuasiIndex, build_index
+    from sailfish_tpu.io.fastq import FastqBatch
+    from sailfish_tpu.libformat import parse_library_format
+    from sailfish_tpu.map.pipeline import DeviceMapperBackend
+    from sailfish_tpu.map.sharded import ShardedMapperBackend
+
+    names, seqs = _world(seed=11, n_txps=24, paralogs=True)
+    k = 31
+    idx = build_index(names, seqs, k=k, prefix_bases=10)
+    shards, ranges = build_index_shards(names, seqs, 4, k=k,
+                                        prefix_bases=10)
+    sidx = ShardedQuasiIndex(
+        shards=shards, ranges=ranges, names=list(names),
+        txp_lens=np.concatenate([s.txp_lens for s in shards]),
+        k=k, prefix_bases=shards[0].prefix_bases,
+    )
+
+    n = 48
+    rng = np.random.default_rng(5)
+    L = 64
+    codes1 = np.full((n, L), 4, np.uint8)
+    codes2 = np.full((n, L), 4, np.uint8)
+    rl = 60
+    for i in range(n):
+        t = int(rng.integers(0, len(seqs)))
+        if i % 2 == 0:
+            t = (t // 3) * 3  # bias onto the repeat family members
+        s = seqs[t]
+        fl = int(rng.integers(rl + 10, min(200, len(s))))
+        p = int(rng.integers(0, len(s) - fl + 1))
+        codes1[i, :rl] = s[p : p + rl]
+        m2 = s[p + fl - rl : p + fl]
+        codes2[i, :rl] = (3 - m2[::-1]) % 4
+    lens = np.full(n, rl, np.int32)
+    b1 = FastqBatch(codes=codes1, lens=lens)
+    b2 = FastqBatch(codes=codes2, lens=lens)
+    exp = parse_library_format("IU")
+
+    kw = dict(batch_size=n, hit_capacity=4, hit_capacity_max=32,
+              kernel="xla")
+    mono = DeviceMapperBackend(idx, QuantOpts(**kw))
+    shard = ShardedMapperBackend(sidx, QuantOpts(**kw))
+    bm = mono.map_pe_batch(b1, b2, exp)
+    bs = shard.map_pe_batch(b1, b2, exp)
+
+    dm = dict(zip(bm.labels, map(int, bm.label_counts)))
+    ds = dict(zip(bs.labels, map(int, bs.label_counts)))
+    assert dm == ds
+    np.testing.assert_array_equal(bm.mapped, bs.mapped)
+    # the cap-4 first pass must actually have overflowed something
+    # (otherwise this test exercises nothing)
+    nar = DeviceMapperBackend(idx, QuantOpts(batch_size=n,
+                                             hit_capacity=4,
+                                             kernel="xla"))
+    bn = nar.map_pe_batch(b1, b2, exp)
+    assert int(bn.mapped.sum()) < int(bm.mapped.sum())

@@ -160,9 +160,11 @@ def main():
     from sailfish_tpu.libformat import parse_library_format
     from sailfish_tpu.map.pipeline import DeviceMapperBackend
 
+    key = f"{TXPS}_{BASES}"
+    idx_dir = os.path.join(CACHE, key) if CACHE else ""
     opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP,
                      hit_capacity_max=CAP_MAX, kernel=KERNEL,
-                     xla2_sweep_win=SWEEP)
+                     xla2_sweep_win=SWEEP, index_dir=idx_dir)
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
     rng = np.random.default_rng(11)
