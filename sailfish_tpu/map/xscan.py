@@ -20,9 +20,11 @@ on v5e the cost is per element moved, regardless of row width):
     that would need a probe chain or a multi-candidate verify DEFER —
     the lane simply stays active and phase B redoes the position with
     the full machinery (sound: the event never executed)
-  * phase B probes BUCKET-PAIR rows (ht16 viewed (S/2, 32): a 4-deep
-    chain costs 2 row gathers); chains that walk outside the fetched
-    pair window PUNT (rare)
+  * phase B resolves probe chains with direct bucket-row gathers
+    (offsets 0..3; one 16-word row each — NO reshaped pair view: at
+    GENCODE scale XLA materialized that reshape as a layout-padded
+    copy of the whole table, see probe_pairrows); chains that walk
+    past the covered offsets PUNT (rare)
   * the packed-text verify reads 17-word overlapped pk_rows (16 words
     + ONE flag-bitmask word; stride 8): any 9-word window in one row
   * SA slices read overlapped sa_ov rows (stride 16, width 24)
@@ -124,28 +126,23 @@ def _bucket16(row16, k0i, k1i):
     return found, lo, cnt, empty
 
 
-def probe_pairrows(ht32, h1, k0i, k1i, *, ht_probes: int):
-    """Full probe-chain resolution from TWO bucket-pair row gathers.
+def probe_pairrows(ht16, h1, k0i, k1i, *, ht_probes: int):
+    """Full probe-chain resolution: chain offsets 0..3 gather their
+    bucket rows DIRECTLY from the (S, 16) table.
 
-    ht32 is the (S, 16) bucket table viewed as (S//2, 32): row r holds
-    buckets {2r, 2r+1}.  Rows h1>>1 and h1>>1 + 1 cover chain offsets
-    0..3 for even h1 and 0..2 for odd h1.  Chains that continue past
-    the covered window (or wrap past the table end) return unresolved
-    — the caller punts those lanes, which is always semantics-free.
+    (An earlier version viewed the table as (S//2, 32) bucket-pair rows
+    via an in-graph reshape — at GENCODE scale XLA materialized that
+    reshape as a 128-lane-padded relayout COPY of the whole table:
+    16 GB + 8 GB of HBM temps for a 2 GB argument, an instant OOM.
+    Direct row gathers keep the argument's compact layout and, as a
+    bonus, cover offset 3 for odd h1 too, so fewer chains punt.)
+
+    Chains that wrap past the table end return unresolved — the caller
+    punts those lanes, which is always semantics-free.
 
     Returns (found, lo, cnt, miss, unresolved)."""
     P = h1.shape[0]
-    S2 = ht32.shape[0]
-    S = 2 * S2
-    p0 = jnp.clip(h1 >> 1, 0, S2 - 1)
-    rowA = ht32[p0]
-    rowB = ht32[jnp.clip(p0 + 1, 0, S2 - 1)]
-    odd = (h1 & 1) == 1
-
-    # chain offset a -> bucket slice: even h1 = [A0, A1, B0, B1],
-    # odd h1 = [A1, B0, B1, <unfetched>]
-    evn = (rowA[:, :16], rowA[:, 16:], rowB[:, :16], rowB[:, 16:])
-    odds = (rowA[:, 16:], rowB[:, :16], rowB[:, 16:], None)
+    S = ht16.shape[0]
     nprobe = min(ht_probes, 4)
     found = jnp.zeros(P, bool)
     stopped = jnp.zeros(P, bool)
@@ -153,13 +150,8 @@ def probe_pairrows(ht32, h1, k0i, k1i, *, ht_probes: int):
     lo = jnp.zeros(P, I32)
     cnt = jnp.zeros(P, I32)
     for a in range(nprobe):
-        if odds[a] is None:
-            row16 = evn[a]
-            avail = ~odd
-        else:
-            row16 = jnp.where(odd[:, None], odds[a], evn[a])
-            avail = jnp.ones(P, bool)
-        avail = avail & (h1 + a < S)
+        row16 = ht16[jnp.clip(h1 + a, 0, S - 1)]
+        avail = h1 + a < S
         fa, loa, ca, ea = _bucket16(row16, k0i, k1i)
         live = ~stopped & ~unres & ~found
         unres = unres | (live & ~avail)
@@ -257,7 +249,7 @@ def _event_step(state, lane, tables, *, k, C, M, F, Fs, ht_bits,
     light events write slot 0 only."""
     i, nm, mlen, over, punt, gtxp, gpin, vld = state
     k0a, k1a, nxt, rw, lens = lane
-    ht16, ht32, pk_rows, sa_ov, text_flat = tables
+    ht16, pk_rows, sa_ov, text_flat = tables
     P = i.shape[0]
     S = ht16.shape[0]
     Rs = sa_ov.shape[0]
@@ -290,7 +282,7 @@ def _event_step(state, lane, tables, *, k, C, M, F, Fs, ht_bits,
         unresolved = jnp.zeros(P, bool)
     else:
         found, lo, cnt, miss, unresolved = probe_pairrows(
-            ht32, h1, k0i, k1i, ht_probes=ht_probes)
+            ht16, h1, k0i, k1i, ht_probes=ht_probes)
         defer = jnp.zeros(P, bool)
 
     # ---- candidate positions ----
@@ -430,12 +422,11 @@ def nip_scan_xla(
     RW = (L_read + 15) >> 4
     rw = aw[:, 0:RW]  # (P, RW)
 
-    ht32 = ht16.reshape(-1, 32)
     Fs = F
     kw = dict(k=k, C=C, M=M, F=F, Fs=Fs, ht_bits=ht_bits,
               ht_probes=ht_probes, n_text=n_text, skip_jump=skip_jump,
               npos=npos)
-    tables = (ht16, ht32, pk_rows, sa_ov, text_flat)
+    tables = (ht16, pk_rows, sa_ov, text_flat)
 
     def scan_phase(state, lane, steps, light):
         def body(st, _):
