@@ -173,6 +173,15 @@ class QuantOpts:
                                    # "div:steps,..." — each segment runs
                                    # `steps` full events on a P//div
                                    # compacted prefix
+    escalation_backend: str = "auto"  # wide-capacity second pass runs
+                                   # on: "device" (XLA kernel — needs a
+                                   # SECOND set of index images on the
+                                   # chip), "host" (numpy oracle — zero
+                                   # device memory, exact, for the rare
+                                   # overflow fragments), or "auto"
+                                   # (device unless both image sets
+                                   # would overflow HBM; see
+                                   # map/pipeline._esc_backend)
 
     def effective_scan_steps(self, window_len: int) -> int:
         """The per-oriented-read probe-position budget: the configured

@@ -883,6 +883,57 @@ class DeviceMapperBackend:
     # there, and the rare wide shapes stay off the pallas hot path).
     _ESC_ROWS = 1024
 
+    def _esc_xla_image_bytes(self) -> int:
+        """Host-side size of the XLA-kernel index images the device
+        wide pass would upload NEXT TO the Pallas images."""
+        idx = self._index
+        total = (idx.sa.nbytes + idx.packed16.nbytes
+                 + idx.sep_dist.nbytes + idx.table_lo.nbytes
+                 + idx.txp_of_pos.nbytes + idx.txp_offsets.nbytes)
+        if idx.kmer_ht is not None:
+            ht = idx.kmer_ht
+            total += (ht["ht_key0"].nbytes + ht["ht_key1"].nbytes
+                      + ht["ht_lo"].nbytes + ht["ht_cnt"].nbytes)
+        return total
+
+    def _esc_use_host(self) -> bool:
+        """Auto policy for the wide pass: the device XLA route needs a
+        SECOND multi-GB set of index images on the chip when the main
+        kernel is Pallas — at GENCODE scale (150Mb text) the two image
+        sets together exceed a v5e's HBM and CRASH the TPU worker
+        (observed 2026-08-20).  When the duplicate images would not
+        comfortably fit, route overflow fragments to the host oracle
+        instead: zero device memory, identical semantics at the same
+        effective capacity (refimpl applies effective_hit_capacity()),
+        and the overflow population is tiny by construction."""
+        mode = getattr(self.opts, "escalation_backend", "auto")
+        if mode in ("host", "device"):
+            return mode == "host"
+        if self.opts.kernel != "pallas":
+            return False          # XLA images already resident — shared
+        seq_on, gc_on = self._bias_flags
+        if seq_on or gc_on:
+            return False          # oracle result carries no bias pulls
+        try:
+            import jax as _jax
+
+            stats = _jax.devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+        except Exception:
+            limit = 0
+        if limit <= 0:
+            # v5e usable HBM (allocator reported 15.75G when the
+            # GENCODE compile OOM'd); CPU tests report a real limit
+            limit = int(15.75 * (1 << 30))
+        pallas_b = sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize
+            for v in (self._pallas_text or {}).values()
+            if hasattr(v, "shape")
+        )
+        # 4GB slack for lane/batch working arrays + fragmentation
+        need = self._esc_xla_image_bytes() + pallas_b + (4 << 30)
+        return need > limit
+
     def _esc_enabled(self) -> bool:
         # >= (not >): the xlong path enables a same-capacity remap pass
         # for its residual spills (exact for them; true cnt > C
@@ -892,6 +943,15 @@ class DeviceMapperBackend:
 
     def _esc_backend(self):
         if getattr(self, "_escb", None) is None:
+            if self._esc_use_host():
+                self._escb = _HostEscalationBackend(self._index, self.opts)
+                import logging
+
+                logging.getLogger("sailfish_tpu").info(
+                    "escalation: host-oracle wide pass (duplicate XLA "
+                    "index images would not fit device memory)"
+                )
+                return self._escb
             opts2 = dataclasses.replace(
                 self.opts,
                 hit_capacity=self.opts.effective_hit_capacity(),
@@ -1066,3 +1126,62 @@ class DeviceMapperBackend:
 
     def map_se_batch(self, b, expected: LibraryFormat) -> BatchResult:
         return self.finish_batch(self.submit_se(b, expected))
+
+
+class _HostEscalationBackend:
+    """Wide-capacity second pass on the HOST oracle (refimpl).
+
+    The device wide pass routes through the XLA kernel, whose index
+    images (sa / packed16 / sep_dist / ht_* / txp_of_pos ...) are a
+    SECOND multi-GB device allocation next to the Pallas images.  At
+    GENCODE scale (150Mb text: ~6-7GB XLA images + ~5-6GB Pallas
+    images) the pair exceeds a v5e's 16GB HBM and crashes the TPU
+    worker.  Overflow fragments are rare (candidate sets wider than
+    hit_capacity), so mapping them on the numpy oracle — the
+    differential reference itself, applying the same
+    effective_hit_capacity() envelope (refimpl/mapper.py:97) — costs
+    milliseconds per batch and zero device memory.  Selected by
+    QuantOpts.escalation_backend ("host", or "auto" when the duplicate
+    images would not fit; see DeviceMapperBackend._esc_use_host).
+
+    Reference behavior preserved: unbounded candidate enumeration with
+    maxReadOcc enforced on the joint set only
+    (/root/reference/src/SailfishQuantify.cpp:217,1143).
+    """
+
+    def __init__(self, index: QuasiIndex, opts: QuantOpts):
+        from ..quant import RefMapperBackend
+
+        self.opts = opts
+        self._rb = RefMapperBackend(index, opts)
+
+    def submit_pe(self, b1, b2, expected):
+        return self._rb.map_pe_batch(b1, b2, expected)
+
+    def submit_se(self, b, expected):
+        return self._rb.map_se_batch(b, expected)
+
+    def finish_batch(self, token) -> BatchResult:
+        return token
+
+    def finish_batch_fast(self, token, acc) -> BatchStats:
+        br = token
+        acc.add_many(br.labels, br.label_counts)
+        mf = self.opts.max_frag_len
+        fl = np.asarray(br.frag_lens)
+        up = np.asarray(br.unique_paired)
+        sel = up & (fl < mf)
+        return BatchStats(
+            n=br.n,
+            num_mapped=int(br.mapped.sum()),
+            sum_joint=int(br.num_joint.sum()),
+            ub_hits=int((br.num_joint > 0).sum()),
+            num_fwd=int(br.num_fwd),
+            num_rc=int(br.num_rc),
+            fld_count=int(sel.sum()),
+            fmt_counts=br.fmt_counts.astype(np.int64),
+            num_compat=int(br.num_compat),
+            fld_hist=lambda: np.bincount(
+                fl[sel].astype(np.int64), minlength=mf)[:mf],
+            fld_details=lambda: (fl, up),
+        )

@@ -166,3 +166,77 @@ def test_paralog_family_crosses_hit_capacity():
     fls, up = bs.fld_details()
     np.testing.assert_array_equal(fls, bw.frag_lens)
     np.testing.assert_array_equal(up, bw.unique_paired)
+
+
+def test_host_escalation_matches_wide_pass():
+    """escalation_backend="host": the wide second pass on the numpy
+    oracle must equal the single wide device pass exactly — same
+    effective capacity envelope (refimpl/mapper.py applies
+    effective_hit_capacity()), zero device memory.  This is the
+    GENCODE-scale route: the device wide pass would upload a second
+    multi-GB set of XLA index images next to the Pallas ones and crash
+    a 16GB-HBM chip (map/pipeline._esc_use_host)."""
+    from sailfish_tpu import dna
+    from sailfish_tpu.index.builder import build_index
+    from sailfish_tpu.eqclass.classes import HashedEqClassAccumulator
+
+    rng = np.random.default_rng(43)
+    anc = rng.integers(0, 4, 800).astype(np.uint8)
+    seqs, names = [], []
+    for c in range(56):
+        s = anc.copy()
+        for p in rng.integers(0, len(s), 3):
+            s[p] = (s[p] + 1 + rng.integers(0, 3)) % 4
+        seqs.append(s)
+        names.append(f"par{c}")
+    for i in range(8):
+        seqs.append(rng.integers(0, 4, 900).astype(np.uint8))
+        names.append(f"bg{i}")
+    idx = build_index(names, seqs, k=31)
+
+    exp = parse_library_format("IU")
+    r1, r2 = [], []
+    for i in range(64):
+        t = int(rng.integers(0, len(seqs)))
+        s = seqs[t]
+        fl = int(rng.integers(160, 300))
+        p = int(rng.integers(0, len(s) - fl))
+        frag = s[p : p + fl]
+        r1.append(frag[:50].copy())
+        r2.append(dna.revcomp(frag[-50:]).copy())
+    b1, b2 = to_batch(r1), to_batch(r2)
+
+    wide = DeviceMapperBackend(
+        idx, QuantOpts(batch_size=64, hit_capacity=64)
+    ).map_pe_batch(b1, b2, exp)
+
+    opts_h = QuantOpts(batch_size=64, hit_capacity=16,
+                       hit_capacity_max=64, escalation_backend="host")
+    dev_h = DeviceMapperBackend(idx, opts_h)
+    bh = dev_h.map_pe_batch(b1, b2, exp)
+    assert as_dict(bh) == as_dict(wide)
+    np.testing.assert_array_equal(bh.mapped, wide.mapped)
+    np.testing.assert_array_equal(bh.num_joint, wide.num_joint)
+    np.testing.assert_array_equal(bh.unique_paired, wide.unique_paired)
+    np.testing.assert_array_equal(bh.frag_lens, wide.frag_lens)
+    assert (bh.num_fwd, bh.num_rc) == (wide.num_fwd, wide.num_rc)
+    np.testing.assert_array_equal(bh.fmt_counts, wide.fmt_counts)
+    assert bh.num_compat == wide.num_compat
+
+    # fast path: counters + accumulator + FLD details all match
+    acc = HashedEqClassAccumulator()
+    bs = dev_h.finish_batch_fast(dev_h.submit_pe(b1, b2, exp), acc)
+    assert bs.num_mapped == int(wide.mapped.sum())
+    assert bs.sum_joint == int(wide.num_joint.sum())
+    assert bs.ub_hits == int((wide.num_joint > 0).sum())
+    assert dict(acc._counts) == as_dict(wide)
+    fls, up = bs.fld_details()
+    np.testing.assert_array_equal(fls, wide.frag_lens)
+    np.testing.assert_array_equal(up, wide.unique_paired)
+    mf = opts_h.max_frag_len
+    sel = wide.unique_paired & (wide.frag_lens < mf)
+    np.testing.assert_array_equal(
+        bs.fld_hist(),
+        np.bincount(wide.frag_lens[sel].astype(np.int64),
+                    minlength=mf)[:mf])
+    assert bs.fld_count == int(sel.sum())

@@ -63,8 +63,11 @@ def build_transcriptome(rng):
     total = 0
     gene = 0
     while len(seqs) < TXPS and total < BASES:
-        n_ex = int(rng.integers(6, 21))
-        exons = [rng.integers(0, 4, int(rng.integers(30, 401)))
+        # exon sizing chosen so the defaults (200k txps, 150Mb) hit both
+        # caps together: ~8.5 exons x ~115b x 0.8 keep-rate ~ 780b/txp,
+        # matching real GENCODE's ~750b median transcript
+        n_ex = int(rng.integers(4, 14))
+        exons = [rng.integers(0, 4, int(rng.integers(30, 201)))
                  .astype(np.uint8) for _ in range(n_ex)]
         n_iso = int(min(rng.integers(1, 9), TXPS - len(seqs)))
         for i in range(n_iso):
@@ -162,9 +165,19 @@ def main():
 
     key = f"{TXPS}_{BASES}"
     idx_dir = os.path.join(CACHE, key) if CACHE else ""
+    # paralog-world xscan coverage (all bit-exact-by-construction
+    # knobs; capacity semantics stay at the CLI defaults 64/1024):
+    #  * xscan_f=8 — a gene family of up to 8 isoforms puts cnt<=8 on
+    #    most seeds; F=4 would punt nearly every lane to the kernel
+    #    residual, overflow its prefix, and dump the batch on the
+    #    escalation pass
+    #  * front-loaded schedule — most lanes are still active entering
+    #    phase B here (multi-candidate events defer out of light phase
+    #    A), so the bench-world narrowing would spill them to punts
     opts = QuantOpts(batch_size=BATCH, hit_capacity=CAP,
                      hit_capacity_max=CAP_MAX, kernel=KERNEL,
-                     xla2_sweep_win=SWEEP, index_dir=idx_dir)
+                     xla2_sweep_win=SWEEP, index_dir=idx_dir,
+                     xscan_f=8, xscan_schedule="1:3,2:2,4:2")
     backend = DeviceMapperBackend(idx, opts)
     expected = parse_library_format("IU")
     rng = np.random.default_rng(11)
