@@ -930,8 +930,12 @@ class DeviceMapperBackend:
             for v in (self._pallas_text or {}).values()
             if hasattr(v, "shape")
         )
-        # 4GB slack for lane/batch working arrays + fragmentation
-        need = self._esc_xla_image_bytes() + pallas_b + (4 << 30)
+        # 6GiB slack: lane/batch working arrays, the wide XLA kernel's
+        # sweep/sort temporaries, allocator fragmentation.  The error
+        # asymmetry is extreme — a wrong "device" CRASHES the TPU
+        # worker (observed at 12.26GiB of images on a 15.75GiB chip),
+        # a wrong "host" costs milliseconds — so err toward host.
+        need = self._esc_xla_image_bytes() + pallas_b + (6 << 30)
         return need > limit
 
     def _esc_enabled(self) -> bool:
